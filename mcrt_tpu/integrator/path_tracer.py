@@ -1,0 +1,378 @@
+"""Wavefront path tracer: NEE + MIS + Russian roulette as a fixed-shape device loop.
+
+TPU-native re-architecture of the reference's recursive per-ray integrator
+(/root/reference/source/integrator/path-tracer/path-tracer.cpp:14-51 and
+source/integrator/integrator.cpp:31-129): a megabatch of rays advances one bounce per
+`lax.while_loop` iteration; every per-ray decision (event selection, NEE visibility,
+RR) is a masked lane; the loop exits when all lanes die or MAX_BOUNCES is reached.
+Two scene intersections per bounce (primary + shadow), exactly like the reference.
+
+The sampler is the pure-function Owen-Sobol of mcrt_tpu.sampling.sobol with the
+reference's dimension allocation, so sample decorrelation behavior matches.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..materials import bsdf
+from ..ops import geometry as g
+from ..ops import intersect as isect
+from ..sampling import sobol
+from ..scene.loader import SceneMeta, SceneTables
+
+
+@dataclasses.dataclass(frozen=True)
+class PTConfig:
+    max_bounces: int = 64
+    min_ray_depth: int = 3            # RR kicks in past this many diffuse bounces
+    min_priority_ray_depth: int = 16  # ... or this many total bounces
+    ior_stack_size: int = 8
+    sky: bool = True                  # add sky gradient on miss (photon pass 2: False)
+    global_seed: int = 0
+
+
+def ray_offset_eps(dtype) -> float:
+    """Shadow-acne offset. The reference uses 1e-9 with f64 (constants.hpp:9); f32
+    needs a bigger nudge to survive rounding of position = o + t*d."""
+    return 1e-9 if jnp.dtype(dtype).itemsize == 8 else 1e-4
+
+
+def sky_color(direction):
+    """Orange/blue gradient on miss (reference scene.cpp:219-223)."""
+    dy = jnp.clip(direction[..., 1], -1.0, 1.0)
+    fy = (1.0 + jnp.arcsin(dy) / jnp.pi) / 2.0
+    orange = jnp.asarray([1.0, 0.5, 0.0], direction.dtype)
+    blue = jnp.asarray([0.0, 0.5, 1.0], direction.dtype)
+    return orange * (1.0 - fy[..., None]) + blue * fy[..., None]
+
+
+class PathState(NamedTuple):
+    bounce: jnp.ndarray            # scalar int32
+    origin: jnp.ndarray            # (R,3)
+    direction: jnp.ndarray         # (R,3)
+    medium_ior: jnp.ndarray        # (R,)
+    refraction_scale: jnp.ndarray  # (R,)
+    ray_dirac: jnp.ndarray         # (R,) bool — current ray spawned by dirac event
+    ray_refraction: jnp.ndarray    # (R,) bool — current ray is a refraction
+    diffuse_depth: jnp.ndarray     # (R,) int32
+    refraction_level: jnp.ndarray  # (R,) int32
+    iors: jnp.ndarray              # (R,K) RefractionHistory stack
+    ior_count: jnp.ndarray         # (R,) int32
+    throughput: jnp.ndarray        # (R,3)
+    radiance: jnp.ndarray          # (R,3)
+    alive: jnp.ndarray             # (R,) bool
+    prev_light: jnp.ndarray        # (R,) int32 global surf id of last NEE light (-1)
+    prev_bsdf_pdf: jnp.ndarray     # (R,)
+    prev_select_prob: jnp.ndarray  # (R,)
+
+
+def _gather_surface(tables: SceneTables, meta: SceneMeta, sid):
+    """Per-hit surface row gathers (area, material id, emission)."""
+    s = jnp.maximum(sid, 0)
+    return (
+        tables.surf_area[s],
+        tables.surf_mat[s],
+        tables.surf_radiosity[s],
+        tables.surf_emissive_idx[s],
+    )
+
+
+def _sample_light_position(tables: SceneTables, light_idx, u, v):
+    """Uniform area sample + normal on the selected light (tri: sqrt-warp
+    triangle.cpp:93-97; sphere: uniform sphere.cpp:37-44)."""
+    li = jnp.maximum(light_idx, 0)
+    kind = tables.light_kind[li]
+    p0, p1, p2 = tables.light_p0[li], tables.light_p1[li], tables.light_p2[li]
+    # Triangle
+    su = jnp.sqrt(u)[..., None]
+    tri_pos = (1.0 - su) * p0 + ((1.0 - v)[..., None] * su) * p1 + (v[..., None] * su) * p2
+    tri_n = tables.light_normal[li]
+    # Sphere
+    radius = p2[..., 0]
+    z = 1.0 - 2.0 * u
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * v
+    sph_dir = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    sph_pos = p0 + radius[..., None] * sph_dir
+    is_sph = (kind == 1)[..., None]
+    pos = jnp.where(is_sph, sph_pos, tri_pos)
+    normal = jnp.where(is_sph, sph_dir, tri_n)
+    return pos, normal
+
+
+def make_bounce_step(
+    tables: SceneTables,
+    meta: SceneMeta,
+    cfg: PTConfig,
+    intersect_fn: Callable,
+    pixel_index,
+    sample_index,
+):
+    """Builds the single-bounce transition function over PathState."""
+    dtype = tables.tri_v0.dtype
+    eps = jnp.asarray(ray_offset_eps(dtype), dtype)
+    base_ctx = sobol.make_ctx(cfg.global_seed, pixel_index, sample_index, dtype)
+    K = cfg.ior_stack_size
+
+    def step(st: PathState) -> PathState:
+        ctx = sobol.shuffled(base_ctx, st.bounce.astype(jnp.uint32) + 1)
+        R = st.origin.shape[0]
+
+        hit = intersect_fn(st.origin, st.direction)
+        missed = hit.surf_id < 0
+        radiance = st.radiance
+        if cfg.sky:
+            radiance = radiance + jnp.where(
+                (st.alive & missed)[:, None], st.throughput * sky_color(st.direction), 0.0
+            )
+        alive = st.alive & ~missed
+
+        # Keep dead/missed lanes finite so NaNs can't leak through masked selects.
+        t_safe = jnp.where(missed, jnp.asarray(1.0, dtype), hit.t)
+        position = st.origin + st.direction * t_safe[:, None]
+        geom_n_raw = isect.surface_normal(tables, meta, hit.surf_id, position)
+        cos_g = g.dot(st.direction, geom_n_raw)
+        inside = cos_g > 0.0
+
+        area, mat_id, radiosity, emissive_idx = _gather_surface(tables, meta, hit.surf_id)
+        mat = bsdf.gather_materials(tables, mat_id)
+
+        external_ior = jnp.take_along_axis(
+            st.iors, jnp.clip(st.refraction_level - 1, 0, st.ior_count - 1)[:, None], axis=1
+        )[:, 0]
+        n1 = st.medium_ior
+        n2 = jnp.where(inside & ~mat.opaque, external_ior, mat.ior)
+
+        sn_raw = isect.shading_normal(tables, meta, hit.surf_id, hit.uv, geom_n_raw, st.direction)
+        flip = inside[:, None]
+        normal = jnp.where(flip, -geom_n_raw, geom_n_raw)
+        sn = jnp.where(flip, -sn_raw, sn_raw)
+        tb_t, tb_b = g.orthonormal_basis(sn)
+        out = -st.direction
+        wo_l = g.to_local(out, tb_t, tb_b, sn)
+
+        R_f = bsdf.fresnel_dielectric(n1, n2, g.dot(sn, out))
+        R_cl = jnp.where(mat.rough_specular, jnp.clip(R_f, 0.1, 0.9), R_f)
+        T = mat.transparency
+
+        # ---- sampleEmissive (integrator.cpp:93-110) ----
+        is_emissive = emissive_idx >= 0
+        direct = (st.bounce == 0) | st.ray_dirac
+        cos_light = g.dot(out, normal)
+        light_pdf_e = t_safe * t_safe / bsdf._safe(area * cos_light)
+        mis_e = g.power_heuristic(st.prev_bsdf_pdf, light_pdf_e)
+        same_light = st.prev_light == hit.surf_id
+        emit = jnp.where(
+            direct[:, None],
+            radiosity,
+            jnp.where(same_light[:, None], (mis_e / bsdf._safe(st.prev_select_prob))[:, None] * radiosity, 0.0),
+        )
+        radiance = radiance + jnp.where(
+            (alive & is_emissive & ~inside)[:, None], st.throughput * emit, 0.0
+        )
+
+        # ---- sampleDirect / NEE (integrator.cpp:31-87) ----
+        if meta.has_lights:
+            u_l0 = sobol.sample(ctx, 0)
+            u_l1 = sobol.sample(ctx, 1)
+            u_l2 = sobol.sample(ctx, 2)
+            n_l = tables.light_cdf.shape[0]
+            light_idx = jnp.clip(
+                jnp.searchsorted(tables.light_cdf, u_l2, side="left"), 0, n_l - 1
+            )
+            lsurf = tables.light_surf[light_idx]
+            select_prob = tables.light_select_prob[light_idx]
+            l_radiosity = tables.light_radiosity[light_idx]
+            l_area = tables.light_area[light_idx]
+            light_pos, l_normal = _sample_light_position(tables, light_idx, u_l0, u_l1)
+
+            shadow_o = position + normal * eps
+            sdir0 = g.normalize(light_pos - shadow_o)
+            cos_light_theta = g.dot(-sdir0, l_normal)
+            cos_theta_s = g.dot(sdir0, normal)
+            # transmission retry from below the surface for non-opaque backfacing
+            retry = (cos_theta_s <= 0.0) & ~mat.opaque & (cos_theta_s != 0.0)
+            shadow_o = jnp.where(retry[:, None], position - normal * eps, shadow_o)
+            sdir = g.normalize(light_pos - shadow_o)
+
+            sh = intersect_fn(shadow_o, sdir)
+            vis = (sh.surf_id == lsurf) & (sh.surf_id >= 0)
+
+            nee_ok = (
+                alive
+                & ~mat.dirac_delta
+                & (cos_light_theta > 0.0)
+                & ((cos_theta_s > 0.0) | retry)
+                & vis
+            )
+            light_pdf = sh.t * sh.t / bsdf._safe(l_area * cos_light_theta)
+            wi_l = g.to_local(sdir, tb_t, tb_b, sn)
+            f_nee, pdf_nee = bsdf.eval_layered(
+                mat, wo_l, wi_l, n1, n2, inside, R_cl, T,
+                event=jnp.zeros_like(mat_id), flux=False,
+                wi_dirac=jnp.zeros_like(alive),
+            )
+            bsdf_absidotn = f_nee * jnp.abs(wi_l[..., 2])[:, None]
+            nee_ok = nee_ok & (pdf_nee > 0.0)
+            mis_w = g.power_heuristic(light_pdf, pdf_nee)
+            nee = (mis_w / bsdf._safe(light_pdf * select_prob))[:, None] * bsdf_absidotn * l_radiosity
+            radiance = radiance + jnp.where(nee_ok[:, None], st.throughput * nee, 0.0)
+            prev_light = jnp.where(mat.dirac_delta | ~alive, -1, lsurf)
+            prev_select_prob = select_prob
+        else:
+            prev_light = jnp.full((R,), -1, jnp.int32)
+            prev_select_prob = jnp.ones((R,), dtype)
+
+        # ---- event selection + new ray (interaction.cpp:156-183, ray.cpp:16-66) ----
+        u_b0 = sobol.sample(ctx, 3)
+        u_b1 = sobol.sample(ctx, 4)
+        u_int = sobol.sample(ctx, 5)
+        event = bsdf.select_event(mat, n2, R_cl, T, u_int)
+        dirac_next = (event != bsdf.DIFFUSE) & ~mat.rough_specular
+
+        vndf_l = bsdf.ggx_visible_microfacet(u_b0, u_b1, wo_l, mat.specular_roughness)
+        spec_n = jnp.where(
+            mat.rough_specular[:, None], g.from_local(vndf_l, tb_t, tb_b, sn), sn
+        )
+        # REFLECT
+        refl_dir = g.reflect(st.direction, spec_n)
+        # REFRACT (with TIR fallback)
+        inv_eta = n1 / bsdf._safe(n2)
+        cos_m = g.dot(spec_n, st.direction)
+        k = 1.0 - inv_eta * inv_eta * (1.0 - cos_m * cos_m)
+        refr_ok = k >= 0.0
+        refr_dir = (
+            inv_eta[:, None] * st.direction
+            - (inv_eta * cos_m + jnp.sqrt(jnp.maximum(k, 0.0)))[:, None] * spec_n
+        )
+        tir_dir = st.direction - spec_n * (2.0 * cos_m)[:, None]
+        # DIFFUSE
+        diff_dir = g.from_local(g.cos_weighted_hemi(u_b0, u_b1), tb_t, tb_b, sn)
+
+        is_refl = event == bsdf.REFLECT
+        is_refr = event == bsdf.REFRACT
+        is_diff = event == bsdf.DIFFUSE
+        did_refract = is_refr & refr_ok
+
+        new_dir = jnp.where(
+            is_refl[:, None], refl_dir,
+            jnp.where(is_refr[:, None], jnp.where(refr_ok[:, None], refr_dir, tir_dir), diff_dir),
+        )
+        new_dir = g.normalize(new_dir)
+        new_medium = jnp.where(did_refract, n2, n1)
+        new_origin = position + jnp.where(did_refract[:, None], -normal * eps, normal * eps)
+        new_level = st.refraction_level + jnp.where(
+            did_refract, jnp.where(inside, -1, 1), 0
+        )
+        new_refr_scale = st.refraction_scale * jnp.where(
+            did_refract, (n2 / bsdf._safe(n1)) ** 2, 1.0
+        )
+        diffuse_depth = st.diffuse_depth + is_diff.astype(jnp.int32)
+
+        # ---- BSDF throughput (interaction.cpp:56-72) ----
+        wi_l_new = g.to_local(new_dir, tb_t, tb_b, sn)
+        valid = jnp.where(did_refract, wi_l_new[..., 2] < 0.0, wi_l_new[..., 2] > 0.0)
+        f_new, pdf_new = bsdf.eval_layered(
+            mat, wo_l, wi_l_new, n1, n2, inside, R_cl, T,
+            event=event, flux=False, wi_dirac=dirac_next,
+        )
+        valid = valid & (pdf_new > 0.0)
+        throughput = st.throughput * jnp.where(
+            valid[:, None],
+            f_new * (jnp.abs(wi_l_new[..., 2]) / bsdf._safe(pdf_new))[:, None],
+            1.0,
+        )
+        alive = alive & valid
+
+        # ---- Russian roulette (integrator.cpp:112-129); new ray depth = bounce+1 ----
+        u_abs = sobol.sample(ctx, 6)
+        survive = jnp.max(throughput, axis=-1) * new_refr_scale
+        new_depth = st.bounce + 1
+        apply_rr = (diffuse_depth > cfg.min_ray_depth) | (new_depth > cfg.min_priority_ray_depth)
+        survive_c = jnp.minimum(jnp.asarray(0.95, dtype), survive)
+        rr_kill = apply_rr & (survive_c <= u_abs)
+        throughput = jnp.where(
+            (apply_rr & ~rr_kill)[:, None], throughput / bsdf._safe(survive_c)[:, None], throughput
+        )
+        alive = alive & (survive > 0.0) & ~rr_kill
+
+        # ---- RefractionHistory update (ray.cpp:80-98) with the new ray ----
+        rows = jnp.arange(R)
+        push = (new_level > 0) & (new_level == st.ior_count)
+        pop = (new_level > 0) & (new_level < st.ior_count - 1)
+        slot = jnp.clip(st.ior_count, 0, K - 1)
+        cur = st.iors[rows, slot]
+        iors = st.iors.at[rows, slot].set(jnp.where(push, new_medium, cur))
+        ior_count = st.ior_count + jnp.where(push, 1, 0) - jnp.where(pop, 1, 0)
+        ior_count = jnp.clip(ior_count, 1, K)
+
+        return PathState(
+            bounce=st.bounce + 1,
+            origin=new_origin,
+            direction=new_dir,
+            medium_ior=new_medium,
+            refraction_scale=new_refr_scale,
+            ray_dirac=dirac_next,
+            ray_refraction=did_refract,
+            diffuse_depth=diffuse_depth,
+            refraction_level=new_level,
+            iors=iors,
+            ior_count=ior_count,
+            throughput=throughput,
+            radiance=radiance,
+            alive=alive,
+            prev_light=prev_light,
+            prev_bsdf_pdf=pdf_new,
+            prev_select_prob=prev_select_prob,
+        )
+
+    return step
+
+
+def trace(
+    tables: SceneTables,
+    meta: SceneMeta,
+    cfg: PTConfig,
+    origin,
+    direction,
+    pixel_index,
+    sample_index,
+    intersect_fn: Callable | None = None,
+):
+    """Trace a batch of camera rays to radiance. Returns (R,3) radiance."""
+    dtype = origin.dtype
+    R = origin.shape[0]
+    if intersect_fn is None:
+        intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
+
+    step = make_bounce_step(tables, meta, cfg, intersect_fn, pixel_index, sample_index)
+
+    init = PathState(
+        bounce=jnp.asarray(0, jnp.int32),
+        origin=origin,
+        direction=direction,
+        medium_ior=jnp.broadcast_to(tables.ior.astype(dtype), (R,)),
+        refraction_scale=jnp.ones((R,), dtype),
+        ray_dirac=jnp.zeros((R,), bool),
+        ray_refraction=jnp.zeros((R,), bool),
+        diffuse_depth=jnp.zeros((R,), jnp.int32),
+        refraction_level=jnp.zeros((R,), jnp.int32),
+        iors=jnp.broadcast_to(tables.ior.astype(dtype), (R, cfg.ior_stack_size)).copy(),
+        ior_count=jnp.ones((R,), jnp.int32),
+        throughput=jnp.ones((R, 3), dtype),
+        radiance=jnp.zeros((R, 3), dtype),
+        alive=jnp.ones((R,), bool),
+        prev_light=jnp.full((R,), -1, jnp.int32),
+        prev_bsdf_pdf=jnp.zeros((R,), dtype),
+        prev_select_prob=jnp.ones((R,), dtype),
+    )
+
+    def cond(st: PathState):
+        return jnp.any(st.alive) & (st.bounce < cfg.max_bounces)
+
+    final = jax.lax.while_loop(cond, step, init)
+    return final.radiance

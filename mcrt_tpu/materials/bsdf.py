@@ -1,0 +1,340 @@
+"""Layered BSDF: eval, pdf, and sampling — vectorized, branch-free, differentiable.
+
+Capability parity with the reference's material layer
+(/root/reference/source/material/{material,ggx,fresnel}.cpp and
+source/ray/interaction.cpp): a smooth/GGX specular layer over a Lambertian/Oren-Nayar
+diffuse base with stochastic event selection (REFLECT/REFRACT/DIFFUSE), dielectric and
+conductor Fresnel, and the radiance-vs-importance transport asymmetry for refraction.
+All per-material branching is `jnp.where` over gathered parameter rows; directions are
+in the shading-local frame (z = shading normal) exactly as the reference's
+CoordinateSystem usage.
+
+Event codes: 0 = REFLECT, 1 = REFRACT, 2 = DIFFUSE.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import geometry as g
+
+REFLECT, REFRACT, DIFFUSE = 0, 1, 2
+
+_INV_PI = 1.0 / jnp.pi
+
+
+class MatParams(NamedTuple):
+    """Per-ray gathered material parameters (all leading dim R)."""
+    reflectance: jnp.ndarray            # (R,3) gamma-expanded
+    specular_reflectance: jnp.ndarray   # (R,3)
+    transmittance: jnp.ndarray          # (R,3)
+    roughness: jnp.ndarray              # (R,) Oren-Nayar sigma
+    specular_roughness: jnp.ndarray     # (R,) GGX alpha
+    transparency: jnp.ndarray           # (R,)
+    ior: jnp.ndarray                    # (R,)
+    perfect_mirror: jnp.ndarray         # (R,) bool
+    has_complex: jnp.ndarray            # (R,) bool
+    complex_real: jnp.ndarray           # (R,3)
+    complex_imag: jnp.ndarray           # (R,3)
+    rough: jnp.ndarray                  # (R,) bool
+    rough_specular: jnp.ndarray         # (R,) bool
+    opaque: jnp.ndarray                 # (R,) bool
+    dirac_delta: jnp.ndarray            # (R,) bool
+    oren_A: jnp.ndarray                 # (R,)
+    oren_B: jnp.ndarray                 # (R,)
+
+
+def gather_materials(tables, mat_id) -> MatParams:
+    m = jnp.maximum(mat_id, 0)
+    return MatParams(
+        reflectance=tables.mat_reflectance[m],
+        specular_reflectance=tables.mat_specular_reflectance[m],
+        transmittance=tables.mat_transmittance[m],
+        roughness=tables.mat_roughness[m],
+        specular_roughness=tables.mat_specular_roughness[m],
+        transparency=tables.mat_transparency[m],
+        ior=tables.mat_ior[m],
+        perfect_mirror=tables.mat_perfect_mirror[m],
+        has_complex=tables.mat_has_complex[m],
+        complex_real=tables.mat_complex_real[m],
+        complex_imag=tables.mat_complex_imag[m],
+        rough=tables.mat_rough[m],
+        rough_specular=tables.mat_rough_specular[m],
+        opaque=tables.mat_opaque[m],
+        dirac_delta=tables.mat_dirac_delta[m],
+        oren_A=tables.mat_oren_A[m],
+        oren_B=tables.mat_oren_B[m],
+    )
+
+
+# ----------------------------------------------------------------------------------
+# Fresnel
+# ----------------------------------------------------------------------------------
+
+def fresnel_dielectric(n1, n2, cos_theta):
+    """Lagarde-memo dielectric Fresnel (reference fresnel.cpp:16-27). TIR -> 1."""
+    ratio = n2 / jnp.where(n1 == 0.0, jnp.asarray(1.0, n1.dtype), n1)
+    g2 = ratio * ratio + cos_theta * cos_theta - 1.0
+    tir = g2 < 0.0
+    gr = jnp.sqrt(jnp.maximum(g2, 0.0))
+    g_p_c = gr + cos_theta
+    g_m_c = gr - cos_theta
+    denom1 = jnp.where(g_p_c == 0.0, jnp.asarray(1.0, gr.dtype), g_p_c)
+    term1 = (g_m_c / denom1) ** 2
+    denom2 = g_m_c * cos_theta + 1.0
+    denom2 = jnp.where(denom2 == 0.0, jnp.asarray(1.0, gr.dtype), denom2)
+    term2 = ((g_p_c * cos_theta - 1.0) / denom2) ** 2
+    f = 0.5 * term1 * (1.0 + term2)
+    return jnp.where(tir, jnp.ones_like(f), f)
+
+
+def fresnel_conductor(n1, eta_real, eta_imag, cos_theta):
+    """Per-channel conductor Fresnel with complex IOR (reference fresnel.cpp:30-49).
+    n1: (R,), eta_*: (R,3), cos_theta: (R,). Returns (R,3)."""
+    ct = cos_theta[..., None]
+    cos2 = ct * ct
+    sin2 = 1.0 - cos2
+    n1e = n1[..., None]
+    eta2 = (eta_real / n1e) ** 2
+    eta_k2 = (eta_imag / n1e) ** 2
+    t0 = eta2 - eta_k2 - sin2
+    a2_p_b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * eta_k2, 0.0))
+    t1 = a2_p_b2 + cos2
+    t2 = 2.0 * ct * jnp.sqrt(jnp.maximum(0.5 * (a2_p_b2 + t0), 0.0))
+    r_perp = (t1 - t2) / (t1 + t2)
+    t3 = cos2 * a2_p_b2 + sin2 * sin2
+    t4 = t2 * sin2
+    r_par = r_perp * (t3 - t4) / (t3 + t4)
+    return 0.5 * (r_par + r_perp)
+
+
+# ----------------------------------------------------------------------------------
+# GGX microfacet (isotropic alpha as (ax = ay); reference supports dvec2 a)
+# ----------------------------------------------------------------------------------
+
+def _safe(x):
+    return jnp.where(x == 0.0, jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype), x)
+
+
+def ggx_D(m, a):
+    """NDF (reference ggx.cpp:21-24), isotropic a."""
+    a2 = a * a
+    denom = jnp.pi * a2 * ((m[..., 0] ** 2 + m[..., 1] ** 2) / _safe(a2) + m[..., 2] ** 2) ** 2
+    return 1.0 / _safe(denom)
+
+
+def ggx_lambda(w, a):
+    return (-1.0 + jnp.sqrt(1.0 + (a * a) * (w[..., 0] ** 2 + w[..., 1] ** 2) / _safe(w[..., 2] ** 2))) / 2.0
+
+
+def ggx_G1(w, a):
+    return 1.0 / (1.0 + ggx_lambda(w, a))
+
+
+def ggx_G2(wi, wo, a):
+    return 1.0 / (1.0 + ggx_lambda(wo, a) + ggx_lambda(wi, a))
+
+
+def ggx_DV(m, wo, a):
+    return ggx_G1(wo, a) * g.dot(wo, m) * ggx_D(m, a) / _safe(wo[..., 2])
+
+
+def ggx_reflection(wi, wo, a):
+    """(brdf_scalar, pdf) for microfacet reflection (reference ggx.cpp:46-52)."""
+    m = g.normalize(wo + wi)
+    pdf = ggx_DV(m, wo, a) / _safe(4.0 * g.dot(m, wo))
+    f = ggx_D(m, a) * ggx_G2(wi, wo, a) / _safe(4.0 * wo[..., 2] * wi[..., 2])
+    return f, pdf
+
+
+def ggx_transmission(wi, wo, n1, n2, a):
+    """(btdf_scalar, pdf) for microfacet transmission (reference ggx.cpp:54-65)."""
+    m_un = wo * n1[..., None] + wi * n2[..., None]
+    m_len2 = jnp.maximum(g.dot(m_un, m_un), jnp.finfo(wi.dtype).tiny)
+    m = m_un / jnp.sqrt(m_len2)[..., None]
+    m = jnp.where((n1 < n2)[..., None], -m, m)
+    dm_dwi = n2 * n2 * jnp.abs(g.dot(wi, m)) / m_len2
+    pdf = ggx_DV(m, wo, a) * dm_dwi
+    f = jnp.abs(ggx_G2(wi, wo, a) * ggx_D(m, a) * g.dot(wo, m) * dm_dwi / _safe(wo[..., 2] * wi[..., 2]))
+    return f, pdf
+
+
+def ggx_visible_microfacet(u, v, wo, a):
+    """Heitz VNDF sampling in local frame (reference ggx.cpp:67-88), isotropic a."""
+    a3 = a[..., None]
+    vh = g.normalize(jnp.stack([a * wo[..., 0], a * wo[..., 1], wo[..., 2]], axis=-1))
+    len2 = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(len2, jnp.finfo(wo.dtype).tiny))
+    t1 = jnp.where(
+        (len2 > 0.0)[..., None],
+        jnp.stack([-vh[..., 1] * inv_len, vh[..., 0] * inv_len, jnp.zeros_like(inv_len)], axis=-1),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], wo.dtype), vh.shape),
+    )
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(u)
+    phi = v * (2.0 * jnp.pi)
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    nh = (
+        p1[..., None] * t1
+        + p2[..., None] * t2
+        + jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))[..., None] * vh
+    )
+    return g.normalize(
+        jnp.stack([a * nh[..., 0], a * nh[..., 1], jnp.maximum(nh[..., 2], 0.0)], axis=-1)
+    )
+
+
+# ----------------------------------------------------------------------------------
+# Material lobes (reference material.cpp)
+# ----------------------------------------------------------------------------------
+
+def diffuse_reflection(mat: MatParams, wi, wo):
+    """(f (R,3), pdf (R,)) — Lambertian or Oren-Nayar by `rough` flag
+    (material.cpp:17-27, 76-95). Zero when wi.z < 0."""
+    wiz = wi[..., 2]
+    pdf = jnp.maximum(wiz, 0.0) * _INV_PI
+    lamb = mat.reflectance * _INV_PI
+
+    # Oren-Nayar, trig-free form; guard the degenerate straight-up directions where
+    # the azimuthal angle is undefined (den == 0 -> cos term contributes 0).
+    num = wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]
+    den2 = (wi[..., 0] ** 2 + wi[..., 1] ** 2) * (wo[..., 0] ** 2 + wo[..., 1] ** 2)
+    cos_dphi = jnp.clip(num / jnp.sqrt(jnp.where(den2 <= 0.0, 1.0, den2)), 0.0, 1.0)
+    cos_dphi = jnp.where(den2 <= 0.0, 0.0, cos_dphi)
+    D = jnp.sqrt(jnp.maximum((1.0 - wiz ** 2) * (1.0 - wo[..., 2] ** 2), 0.0)) / _safe(
+        jnp.maximum(wiz, wo[..., 2])
+    )
+    on = lamb * (mat.oren_A + mat.oren_B * cos_dphi * D)[..., None]
+    f = jnp.where(mat.rough[..., None], on, lamb)
+    bad = wiz < 0.0
+    return jnp.where(bad[..., None], 0.0, f), jnp.where(bad, 0.0, pdf)
+
+
+def specular_reflection(mat: MatParams, wi, wo):
+    """(f (R,3), pdf (R,)) — smooth mirror lobe or GGX (material.cpp:29-45)."""
+    wiz = wi[..., 2]
+    a = mat.specular_roughness
+    f_ggx, pdf_ggx = ggx_reflection(wi, wo, a)
+    f_rough = mat.specular_reflectance * f_ggx[..., None]
+    f_smooth = mat.specular_reflectance / _safe(jnp.abs(wiz))[..., None]
+    pdf = jnp.where(mat.rough_specular, pdf_ggx, 1.0)
+    f = jnp.where(mat.rough_specular[..., None], f_rough, f_smooth)
+    bad = wiz < 0.0
+    return jnp.where(bad[..., None], 0.0, f), jnp.where(bad, 0.0, pdf)
+
+
+def specular_transmission(mat: MatParams, wi, wo, n1, n2, inside, flux):
+    """(f (R,3), pdf (R,)) — smooth or GGX transmission with the radiance/importance
+    (n2/n1)^2 asymmetry (material.cpp:47-68). Zero when wi.z > 0. `flux` is a static
+    Python bool (radiance transport=False, photon transport=True)."""
+    wiz = wi[..., 2]
+    btdf_color = jnp.where(inside[..., None], jnp.ones_like(mat.transmittance), mat.transmittance)
+    ratio_n2n1 = (n2 / _safe(n1)) ** 2
+    ratio_n1n2 = (n1 / _safe(n2)) ** 2
+
+    f_ggx, pdf_ggx = ggx_transmission(wi, wo, n1, n2, mat.specular_roughness)
+    f_rough = btdf_color * f_ggx[..., None]
+    if flux:
+        f_rough = f_rough * ratio_n2n1[..., None]
+    f_smooth = btdf_color * mat.transmittance / _safe(jnp.abs(wiz))[..., None]
+    # NOTE: reference multiplies transmittance once in btdf init and once more in the
+    # smooth branch (btdf *= transmittance / |wi.z|) — but btdf was initialized to
+    # transmittance (or 1 inside), so smooth branch is transmittance^2 outside? No:
+    # btdf = !inside ? transmittance : 1; then smooth: btdf *= transmittance/|z|.
+    # That IS transmittance^2 when entering. Match the reference exactly:
+    # (material.cpp:56-66)
+    if not flux:
+        f_smooth = f_smooth * ratio_n1n2[..., None]
+    pdf = jnp.where(mat.rough_specular, pdf_ggx, 1.0)
+    f = jnp.where(mat.rough_specular[..., None], f_rough, f_smooth)
+    bad = wiz > 0.0
+    return jnp.where(bad[..., None], 0.0, f), jnp.where(bad, 0.0, pdf)
+
+
+# ----------------------------------------------------------------------------------
+# Layered BSDF evaluation (reference interaction.cpp:84-153)
+# ----------------------------------------------------------------------------------
+
+def eval_layered(
+    mat: MatParams,
+    wo,            # (R,3) local outgoing (toward camera/previous vertex)
+    wi,            # (R,3) local incident (new/light direction)
+    n1, n2,        # (R,) ior ordering from the interaction
+    inside,        # (R,) bool
+    R_clamped,     # (R,) specular reflect probability from the interaction
+    T,             # (R,) transparency
+    event,         # (R,) int32 event code of the ray that wi came from
+    flux: bool,    # static: importance transport
+    wi_dirac,      # (R,) bool: wi is the direction of the ray spawned dirac-ly
+):
+    """Returns (f (R,3), pdf (R,)) of the full layered BSDF (no |wi.z| factor)."""
+    # cos_theta for Fresnel: wo.z, or half-vector based for rough specular
+    m_refl = g.normalize(wo + wi)
+    cos_refl = g.dot(wo, m_refl)
+    m_tr = g.normalize(wo * n1[..., None] + wi * n2[..., None])
+    cos_tr = g.dot(wo, m_tr)
+    cos_tr = jnp.where(n1 < n2, -cos_tr, cos_tr)
+    cos_rough = jnp.where(wi[..., 2] > 0.0, cos_refl, cos_tr)
+    cos_theta = jnp.where(mat.rough_specular, cos_rough, wo[..., 2])
+
+    F = fresnel_dielectric(n1, n2, cos_theta)
+
+    f_s, pdf_s = specular_reflection(mat, wi, wo)
+    f_d, pdf_d = diffuse_reflection(mat, wi, wo)
+    f_t_raw, pdf_t_raw = specular_transmission(mat, wi, wo, n1, n2, inside, flux)
+    use_t = F < 1.0
+    f_t = jnp.where(use_t[..., None], f_t_raw, f_s)
+    pdf_t = jnp.where(use_t, pdf_t_raw, pdf_s)
+
+    # Mode 1: perfect mirror / conductor — pure specular reflection
+    cond = fresnel_conductor(n1, mat.complex_real, mat.complex_imag, cos_theta)
+    f_mirror = f_s * jnp.where(mat.has_complex[..., None], cond, jnp.ones_like(cond))
+    pdf_mirror = pdf_s
+
+    # Mode 2: n2 < 1 — forced diffuse
+    f_forced_d, pdf_forced_d = f_d, pdf_d
+
+    # Mode 3a: wi is the dirac-sampled ray direction
+    is_reflect = event == REFLECT
+    f_dirac = jnp.where(
+        is_reflect[..., None], f_s * F[..., None], f_t * (T * (1.0 - F))[..., None]
+    )
+    pdf_dirac = jnp.where(is_reflect, R_clamped, T * (1.0 - R_clamped))
+
+    # Mode 3b: smooth specular layer, non-dirac wi — diffuse-only layer
+    f_smooth_layer = f_d * ((1.0 - F) * (1.0 - T))[..., None]
+    pdf_smooth_layer = pdf_d * (1.0 - R_clamped) * (1.0 - T)
+
+    # Mode 3c: rough specular — full lerp mix
+    mix = lambda a, b, t: a + (b - a) * t
+    f_mix = mix(mix(f_d, f_t, T[..., None]), f_s, F[..., None])
+    pdf_mix = mix(mix(pdf_d, pdf_t, T), pdf_s, R_clamped)
+
+    f3 = jnp.where(
+        wi_dirac[..., None], f_dirac,
+        jnp.where(mat.rough_specular[..., None], f_mix, f_smooth_layer),
+    )
+    pdf3 = jnp.where(
+        wi_dirac, pdf_dirac, jnp.where(mat.rough_specular, pdf_mix, pdf_smooth_layer)
+    )
+
+    mode1 = (mat.perfect_mirror | mat.has_complex)
+    mode2 = (~mode1) & (n2 < 1.0)
+    f = jnp.where(mode1[..., None], f_mirror, jnp.where(mode2[..., None], f_forced_d, f3))
+    pdf = jnp.where(mode1, pdf_mirror, jnp.where(mode2, pdf_forced_d, pdf3))
+    return f, pdf
+
+
+def select_event(mat: MatParams, n2, R_clamped, T, u):
+    """Stochastic event selection (reference interaction.cpp:156-183).
+    Returns int32 event code per ray."""
+    r_or_refract = jnp.where(R_clamped > u, REFLECT, jnp.where(R_clamped + (1.0 - R_clamped) * T > u, REFRACT, DIFFUSE))
+    forced_mirror = mat.perfect_mirror | mat.has_complex
+    forced_diffuse = (~forced_mirror) & (n2 < 1.0)
+    return jnp.where(
+        forced_mirror, REFLECT, jnp.where(forced_diffuse, DIFFUSE, r_or_refract)
+    ).astype(jnp.int32)

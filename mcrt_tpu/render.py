@@ -1,0 +1,103 @@
+"""Top-level render API: scene file -> image, single-device or sharded.
+
+This is the equivalent of the reference's Camera::capture() driver
+(/root/reference/source/camera/camera.cpp:101-181), re-shaped for TPU: instead of
+threads pulling 32x32 buckets from a mutex queue, the whole (pixel, sample) space is
+a megabatch split into fixed-size ray chunks; each chunk runs the jitted wavefront
+integrator and splats into a film accumulator carried across chunks on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import camera as cam_mod
+from .camera import film as film_mod
+from .camera import image as image_mod
+from .integrator import path_tracer as pt
+from .scene.loader import CameraDef, Scene
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    dtype: str = "float32"
+    max_bounces: int = 64
+    global_seed: int = 0
+    rays_per_chunk: int = 1 << 17     # rays per device dispatch
+    sqrtspp: int | None = None        # override scene camera spp
+    integrator: str = "path_tracer"   # or "photon_mapper"
+
+
+def _chunk_render_fn(tables, meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype):
+    """Builds the jitted (pixel_x, pixel_y, sample_index, film) -> film step."""
+
+    @jax.jit
+    def run(px, py, si, film_acc):
+        rays = cam_mod.generate_rays(
+            cam, px, py, si, tables.ior, cfg.global_seed, dtype
+        )
+        radiance = pt.trace(
+            tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index
+        )
+        return film_acc + film_mod.splat(film_cfg, rays.px, radiance)
+
+    return run
+
+
+def render(
+    scene: Scene,
+    camera_idx: int = 0,
+    cfg: RenderConfig = RenderConfig(),
+    verbose: bool = False,
+):
+    """Render one camera of a scene. Returns linear HDR image (H, W, 3) numpy."""
+    dtype = jnp.dtype(cfg.dtype).type
+    cam = scene.cameras[camera_idx]
+    sqrtspp = cfg.sqrtspp if cfg.sqrtspp is not None else cam.sqrtspp
+    spp = sqrtspp * sqrtspp
+
+    tables = scene.tables(dtype)
+    meta = scene.meta()
+    ptcfg = pt.PTConfig(max_bounces=cfg.max_bounces, global_seed=cfg.global_seed)
+    film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
+
+    run = _chunk_render_fn(tables, meta, ptcfg, cam, film_cfg, dtype)
+
+    # Build the (pixel, sample) megabatch lazily in chunks.
+    n_pix = cam.width * cam.height
+    total = n_pix * spp
+    chunk = min(cfg.rays_per_chunk, total)
+    # Order: all samples of pixel 0..n, sample-major within chunk for locality.
+    film_acc = jnp.zeros((cam.height, cam.width, 4), dtype)
+    xs_all = np.arange(n_pix, dtype=np.uint32) % cam.width
+    ys_all = np.arange(n_pix, dtype=np.uint32) // cam.width
+
+    done = 0
+    while done < total:
+        n = min(chunk, total - done)
+        idx = (np.arange(done, done + n)) // spp
+        si = (np.arange(done, done + n) % spp).astype(np.uint32)
+        px = xs_all[idx]
+        py = ys_all[idx]
+        # A short tail chunk triggers one extra compile; fine for the last dispatch.
+        film_acc = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film_acc)
+        done += n
+        if verbose:
+            print(f"\r{done}/{total} rays", end="", flush=True)
+    if verbose:
+        print()
+
+    img = film_mod.scan(film_acc)
+    return np.asarray(jax.device_get(img), dtype=np.float64)
+
+
+def render_to_file(scene: Scene, out_path, camera_idx: int = 0, cfg: RenderConfig = RenderConfig()):
+    hdr = render(scene, camera_idx, cfg)
+    cam = scene.cameras[camera_idx]
+    srgb = image_mod.finalize(hdr, cam.image)
+    image_mod.write_tga(out_path, srgb)
+    return hdr

@@ -1,0 +1,12 @@
+import os
+
+# Tests run on CPU with a virtual 8-device mesh so multi-chip sharding paths are
+# exercised without TPU hardware (the driver separately dry-runs them).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)  # f64 islands for reference-parity tests
