@@ -1,0 +1,143 @@
+"""Benchmark: path-tracing throughput on the real TPU chip vs the C++ reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+`value` is rays traced per second (primary + shadow rays, counted inside the device
+loop) on the benchmark scene. `vs_baseline` is the ratio against the compiled
+reference renderer's paths/s * (rays/path) measured on this machine's CPU (the
+reference is CPU-only; see BASELINE.md — it publishes no numbers, so the local
+build is the baseline).
+
+Run with the default env (TPU via axon). Requires no other TPU-holding process.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+SCENE = pathlib.Path("/root/reference/scenes/hexagon_room_diffuse.json")
+SIZE = 512
+SQRTSPP = 4
+BASELINE_CACHE = REPO / "goldens" / "ref_bench.json"
+
+
+def bench_ours():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mcrt_tpu.scene.loader import Scene
+    from mcrt_tpu.integrator import path_tracer as pt
+    from mcrt_tpu.camera import camera as cam_mod
+    from mcrt_tpu.camera import film as film_mod
+
+    j = json.loads(SCENE.read_text())
+    j["cameras"][0]["image"] = {"width": SIZE, "height": SIZE, "plain": True}
+    j["cameras"][0]["sqrtspp"] = SQRTSPP
+    scene = Scene(j, scene_dir=SCENE.parent)
+    dtype = jnp.float32
+    tables = scene.tables(dtype)
+    meta = scene.meta()
+    cam = scene.cameras[0]
+    cfg = pt.PTConfig()
+    film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
+
+    @jax.jit
+    def run(px, py, si, film_acc):
+        rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
+        radiance, stats = pt.trace(
+            tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
+            rays.sample_index, return_stats=True,
+        )
+        return film_acc + film_mod.splat(film_cfg, rays.px, radiance), stats["rays"]
+
+    spp = SQRTSPP * SQRTSPP
+    n_pix = SIZE * SIZE
+    total = n_pix * spp
+    chunk = 1 << 19
+    import numpy as np
+
+    film = jnp.zeros((SIZE, SIZE, 4), dtype)
+    # Warmup / compile on the first chunk shape
+    idx0 = np.arange(chunk) // spp
+    px0 = (idx0 % SIZE).astype(np.uint32)
+    py0 = (idx0 // SIZE).astype(np.uint32)
+    si0 = (np.arange(chunk) % spp).astype(np.uint32)
+    f, rc = run(jnp.asarray(px0), jnp.asarray(py0), jnp.asarray(si0), film)
+    f.block_until_ready()
+
+    t0 = time.time()
+    total_rays = 0
+    done = 0
+    film = jnp.zeros((SIZE, SIZE, 4), dtype)
+    while done + chunk <= total:
+        lin = np.arange(done, done + chunk)
+        idx = lin // spp
+        px = (idx % SIZE).astype(np.uint32)
+        py = (idx // SIZE).astype(np.uint32)
+        si = (lin % spp).astype(np.uint32)
+        film, rc = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
+        total_rays += int(rc)
+        done += chunk
+    film.block_until_ready()
+    dt = time.time() - t0
+    paths = done
+    return {
+        "paths": paths,
+        "rays": total_rays,
+        "time_s": dt,
+        "rays_per_s": total_rays / dt,
+        "paths_per_s": paths / dt,
+        "rays_per_path": total_rays / max(paths, 1),
+    }
+
+
+def bench_reference():
+    """Reference renderer paths/s on this machine (cached across runs)."""
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())
+    binary = REPO / ".refbuild" / "monte-carlo-ray-tracer"
+    if not binary.exists():
+        return {"paths_per_s": None}
+    sys.path.insert(0, str(REPO / "tools"))
+    from render_reference import render_reference
+
+    t0 = time.time()
+    render_reference(
+        SCENE, REPO / "goldens" / "bench_ref.tga", sqrtspp=SQRTSPP,
+        size=(SIZE, SIZE), plain=True,
+    )
+    dt = time.time() - t0
+    paths = SIZE * SIZE * SQRTSPP * SQRTSPP
+    result = {"paths_per_s": paths / dt, "time_s": dt, "paths": paths}
+    BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
+    BASELINE_CACHE.write_text(json.dumps(result))
+    return result
+
+
+def main():
+    ours = bench_ours()
+    ref = bench_reference()
+    vs = None
+    if ref.get("paths_per_s"):
+        # Compare like with like: rays/s assuming the same rays-per-path.
+        ref_rays_per_s = ref["paths_per_s"] * ours["rays_per_path"]
+        vs = ours["rays_per_s"] / ref_rays_per_s
+    print(
+        json.dumps(
+            {
+                "metric": "pt_rays_per_s_hexagon512_16spp",
+                "value": round(ours["rays_per_s"], 1),
+                "unit": "rays/s",
+                "vs_baseline": round(vs, 3) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,7 @@ def sky_color(direction):
 
 class PathState(NamedTuple):
     bounce: jnp.ndarray            # scalar int32
+    ray_count: jnp.ndarray         # scalar int32: total rays traced (primary+shadow)
     origin: jnp.ndarray            # (R,3)
     direction: jnp.ndarray         # (R,3)
     medium_ior: jnp.ndarray        # (R,)
@@ -123,6 +124,7 @@ def make_bounce_step(
         R = st.origin.shape[0]
 
         hit = intersect_fn(st.origin, st.direction)
+        ray_count = st.ray_count + jnp.sum(st.alive.astype(jnp.int32))
         missed = hit.surf_id < 0
         radiance = st.radiance
         if cfg.sky:
@@ -200,6 +202,7 @@ def make_bounce_step(
             sdir = g.normalize(light_pos - shadow_o)
 
             sh = intersect_fn(shadow_o, sdir)
+            ray_count = ray_count + jnp.sum((alive & ~mat.dirac_delta).astype(jnp.int32))
             vis = (sh.surf_id == lsurf) & (sh.surf_id >= 0)
 
             nee_ok = (
@@ -312,6 +315,7 @@ def make_bounce_step(
 
         return PathState(
             bounce=st.bounce + 1,
+            ray_count=ray_count,
             origin=new_origin,
             direction=new_dir,
             medium_ior=new_medium,
@@ -342,8 +346,18 @@ def trace(
     pixel_index,
     sample_index,
     intersect_fn: Callable | None = None,
+    differentiable: bool = False,
+    return_stats: bool = False,
+    vary_axes: tuple = (),
 ):
-    """Trace a batch of camera rays to radiance. Returns (R,3) radiance."""
+    """Trace a batch of camera rays to radiance. Returns (R,3) radiance.
+
+    `differentiable=True` switches the bounce loop from `lax.while_loop` (early
+    exit when all lanes die — fastest forward) to a fixed-trip `lax.scan`, which
+    JAX can reverse-differentiate. This is the detached-sampling path replay: the
+    Sobol decisions are functions of integer indices only (zero gradient), so
+    reverse mode flows through the continuous BSDF/pdf/throughput chain.
+    """
     dtype = origin.dtype
     R = origin.shape[0]
     if intersect_fn is None:
@@ -351,28 +365,48 @@ def trace(
 
     step = make_bounce_step(tables, meta, cfg, intersect_fn, pixel_index, sample_index)
 
+    # Derive every init value from the (per-ray) inputs so that under shard_map the
+    # whole carry has consistent device-varying types (see jax shard_map scan-vma).
+    f0 = origin[:, 0] * 0.0                    # (R,) zeros, varying
+    i0 = (pixel_index * 0).astype(jnp.int32)   # (R,) int zeros, varying
+    b_false = i0 != 0                          # (R,) False, varying
     init = PathState(
         bounce=jnp.asarray(0, jnp.int32),
+        ray_count=jnp.sum(i0),
         origin=origin,
         direction=direction,
-        medium_ior=jnp.broadcast_to(tables.ior.astype(dtype), (R,)),
-        refraction_scale=jnp.ones((R,), dtype),
-        ray_dirac=jnp.zeros((R,), bool),
-        ray_refraction=jnp.zeros((R,), bool),
-        diffuse_depth=jnp.zeros((R,), jnp.int32),
-        refraction_level=jnp.zeros((R,), jnp.int32),
-        iors=jnp.broadcast_to(tables.ior.astype(dtype), (R, cfg.ior_stack_size)).copy(),
-        ior_count=jnp.ones((R,), jnp.int32),
-        throughput=jnp.ones((R, 3), dtype),
-        radiance=jnp.zeros((R, 3), dtype),
-        alive=jnp.ones((R,), bool),
-        prev_light=jnp.full((R,), -1, jnp.int32),
-        prev_bsdf_pdf=jnp.zeros((R,), dtype),
-        prev_select_prob=jnp.ones((R,), dtype),
+        medium_ior=f0 + tables.ior.astype(dtype),
+        refraction_scale=f0 + 1.0,
+        ray_dirac=b_false,
+        ray_refraction=b_false,
+        diffuse_depth=i0,
+        refraction_level=i0,
+        iors=(f0 + tables.ior.astype(dtype))[:, None] * jnp.ones((1, cfg.ior_stack_size), dtype),
+        ior_count=i0 + 1,
+        throughput=origin * 0.0 + 1.0,
+        radiance=origin * 0.0,
+        alive=i0 == 0,
+        prev_light=i0 - 1,
+        prev_bsdf_pdf=f0,
+        prev_select_prob=f0 + 1.0,
     )
+    if vary_axes:
+        # Under shard_map the loop body mixes in device-varying data (the sharded
+        # pixel/sample indices), so the whole carry must start device-varying.
+        def _pvary(x):
+            have = getattr(jax.typeof(x), "vma", frozenset())
+            need = tuple(a for a in vary_axes if a not in have)
+            return jax.lax.pvary(x, need) if need else x
 
-    def cond(st: PathState):
-        return jnp.any(st.alive) & (st.bounce < cfg.max_bounces)
+        init = jax.tree_util.tree_map(_pvary, init)
 
-    final = jax.lax.while_loop(cond, step, init)
+    if differentiable:
+        final, _ = jax.lax.scan(lambda st, _: (step(st), None), init, None, length=cfg.max_bounces)
+    else:
+        def cond(st: PathState):
+            return jnp.any(st.alive) & (st.bounce < cfg.max_bounces)
+
+        final = jax.lax.while_loop(cond, step, init)
+    if return_stats:
+        return final.radiance, {"rays": final.ray_count}
     return final.radiance

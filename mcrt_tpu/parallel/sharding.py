@@ -1,0 +1,89 @@
+"""Multi-chip scale-out: rays sharded over a device mesh, scene replicated.
+
+The reference's entire "distributed backend" is a mutexed work queue over
+std::threads (/root/reference/source/common/work-queue.hpp) — shared-memory data
+parallelism over pixels. The TPU-native equivalent: a 1-D `jax.sharding.Mesh` over
+all chips, the (pixel, sample) megabatch sharded on the 'rays' axis via shard_map,
+scene tables replicated, and the film accumulator / parameter gradients reduced with
+`psum` over ICI. No NCCL, no MPI — XLA collectives.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..camera import camera as cam_mod
+from ..camera import film as film_mod
+from ..integrator import path_tracer as pt
+
+
+def make_mesh(devices=None, axis_name: str = "rays") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def sharded_render_step(tables, meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype):
+    """Returns jitted fn: (px, py, si, film) -> film, with rays sharded over the mesh
+    and the film psum-reduced so every device holds the full accumulator."""
+    axis = mesh.axis_names[0]
+
+    def step(px, py, si, film_acc):
+        rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
+        radiance = pt.trace(
+            tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index,
+            vary_axes=(axis,),
+        )
+        local = film_mod.splat(film_cfg, rays.px, radiance)
+        return film_acc + jax.lax.psum(local, axis)
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_train_step(tables, meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype):
+    """Differentiable render step: returns jitted fn
+    (mat_reflectance, px, py, si, target) -> (loss, grad_reflectance).
+
+    This is the renderer-shaped "training step": pixel L2 loss against a target
+    image, reverse-mode gradient w.r.t. material parameters via detached-sampling
+    path replay, gradients psum-reduced over ICI (the analogue of gradient
+    all-reduce in data-parallel training).
+    """
+    axis = mesh.axis_names[0]
+
+    def loss_fn(mat_reflectance, px, py, si, target):
+        t = tables._replace(mat_reflectance=mat_reflectance)
+        rays = cam_mod.generate_rays(cam, px, py, si, t.ior, cfg.global_seed, dtype)
+        radiance = pt.trace(
+            t, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index,
+            differentiable=True, vary_axes=(axis,),
+        )
+        acc = film_mod.splat(film_cfg, rays.px, radiance)
+        acc = jax.lax.psum(acc, axis)
+        img = film_mod.scan(acc)
+        return jnp.mean((img - target) ** 2)
+
+    def step(mat_reflectance, px, py, si, target):
+        loss, grad = jax.value_and_grad(loss_fn)(mat_reflectance, px, py, si, target)
+        # loss/grad computed from psum'd film are already replica-identical; mean
+        # keeps them well-defined if upstream ever partial-shards.
+        return loss, grad
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
