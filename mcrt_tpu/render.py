@@ -32,7 +32,7 @@ class RenderConfig:
     integrator: str = "path_tracer"   # or "photon_mapper"
 
 
-def _chunk_render_fn(tables, meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype):
+def _chunk_render_fn(tables, meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype, intersect_fn=None):
     """Builds the jitted (pixel_x, pixel_y, sample_index, film) -> film step."""
 
     @jax.jit
@@ -41,11 +41,23 @@ def _chunk_render_fn(tables, meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, d
             cam, px, py, si, tables.ior, cfg.global_seed, dtype
         )
         radiance = pt.trace(
-            tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index
+            tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index,
+            intersect_fn=intersect_fn,
         )
         return film_acc + film_mod.splat(film_cfg, rays.px, radiance)
 
     return run
+
+
+def build_intersect_fn(scene: Scene, tables, meta, dtype):
+    """BVH-accelerated intersect when the scene requests one, else brute force."""
+    flat = scene.build_bvh(np.dtype(dtype))
+    if flat is None:
+        return None
+    from .ops import bvh_traverse
+
+    dbvh = bvh_traverse.device_bvh(flat, tables)
+    return bvh_traverse.make_intersect_fn(tables, meta, dbvh, flat.max_leaf)
 
 
 def render(
@@ -65,7 +77,8 @@ def render(
     ptcfg = pt.PTConfig(max_bounces=cfg.max_bounces, global_seed=cfg.global_seed)
     film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
 
-    run = _chunk_render_fn(tables, meta, ptcfg, cam, film_cfg, dtype)
+    intersect_fn = build_intersect_fn(scene, tables, meta, cfg.dtype)
+    run = _chunk_render_fn(tables, meta, ptcfg, cam, film_cfg, dtype, intersect_fn)
 
     # Build the (pixel, sample) megabatch lazily in chunks.
     n_pix = cam.width * cam.height

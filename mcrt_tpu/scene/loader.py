@@ -543,6 +543,32 @@ class Scene:
         self.materials = self._materials
 
     # ------------------------------------------------------------------
+    def tri_bounds(self):
+        """World AABBs of all triangles: (mins (T,3), maxs (T,3))."""
+        v1 = self.tri_v0 + self.tri_e1
+        v2 = self.tri_v0 + self.tri_e2
+        mins = np.minimum(np.minimum(self.tri_v0, v1), v2)
+        maxs = np.maximum(np.maximum(self.tri_v0, v1), v2)
+        return mins, maxs
+
+    def build_bvh(self, dtype=np.float32):
+        """Build the flat BVH selected by the scene's `bvh` block (None if absent
+        or trivially small). Cached per dtype."""
+        if self.bvh_config is None or self.n_tris < 8:
+            return None
+        key = np.dtype(dtype).name
+        cache = getattr(self, "_bvh_cache", None)
+        if cache is None:
+            cache = self._bvh_cache = {}
+        if key not in cache:
+            from ..accel.bvh_build import build_bvh
+
+            kind = str(self.bvh_config.get("type", "binary_sah"))
+            bins = int(self.bvh_config.get("bins_per_axis", 16))
+            mins, maxs = self.tri_bounds()
+            cache[key] = build_bvh(mins, maxs, kind=kind, bins=bins, dtype=dtype)
+        return cache[key]
+
     def meta(self) -> SceneMeta:
         return SceneMeta(
             n_tris=self.n_tris, n_sphs=self.n_sphs, n_quads=self.n_quads,

@@ -11,7 +11,16 @@ import numpy as np
 
 
 def parse_obj(path):
-    """Returns (vertices (V,3) f64, normals (N,3) f64, tri_v (T,3) int64, tri_vn (T,3) int64 or None)."""
+    """Returns (vertices (V,3) f64, normals (N,3) f64, tri_v (T,3) int64, tri_vn (T,3) int64 or None).
+
+    A missing file yields empty geometry with a warning, matching the reference's
+    print-and-continue behavior (scene.cpp:245-249)."""
+    import os
+    import sys
+
+    if not os.path.exists(path):
+        print(f"{path} not found.", file=sys.stderr)
+        return (np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3), np.int64), None)
     vertices, normals = [], []
     tris_v, tris_vn = [], []
     with open(path, "r", errors="replace") as f:
