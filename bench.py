@@ -20,10 +20,11 @@ import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent
-SCENE = pathlib.Path("/root/reference/scenes/hexagon_room_diffuse.json")
+SCENE_NAME = "spaceship"  # headline benchmark scene (BASELINE.json)
+SCENE = pathlib.Path(f"/root/reference/scenes/{SCENE_NAME}.json")
 SIZE = 512
 SQRTSPP = 4
-BASELINE_CACHE = REPO / "goldens" / "ref_bench.json"
+BASELINE_CACHE = REPO / "tools" / "ref_bench.json"
 
 
 def bench_ours():
@@ -45,15 +46,25 @@ def bench_ours():
     cam = scene.cameras[0]
     cfg = pt.PTConfig()
     film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
+    from mcrt_tpu.render import build_device_bvh
+    from mcrt_tpu.ops import bvh_traverse
+    dbvh, max_leaf = build_device_bvh(scene, tables, "float32")
 
     @jax.jit
-    def run(px, py, si, film_acc):
+    def run_impl(tables, dbvh, px, py, si, film_acc):
+        intersect_fn = (
+            bvh_traverse.make_intersect_fn(tables, meta, dbvh, max_leaf)
+            if dbvh is not None else None
+        )
         rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
         radiance, stats = pt.trace(
             tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
-            rays.sample_index, return_stats=True,
+            rays.sample_index, return_stats=True, intersect_fn=intersect_fn,
         )
         return film_acc + film_mod.splat(film_cfg, rays.px, radiance), stats["rays"]
+
+    def run(px, py, si, film_acc):
+        return run_impl(tables, dbvh, px, py, si, film_acc)
 
     spp = SQRTSPP * SQRTSPP
     n_pix = SIZE * SIZE
@@ -97,9 +108,12 @@ def bench_ours():
 
 
 def bench_reference():
-    """Reference renderer paths/s on this machine (cached across runs)."""
+    """Reference renderer paths/s on this machine (committed cache; re-measure by
+    deleting tools/ref_bench.json with the reference binary built)."""
     if BASELINE_CACHE.exists():
-        return json.loads(BASELINE_CACHE.read_text())
+        cache = json.loads(BASELINE_CACHE.read_text())
+        if SCENE_NAME in cache:
+            return cache[SCENE_NAME]
     binary = REPO / ".refbuild" / "monte-carlo-ray-tracer"
     if not binary.exists():
         return {"paths_per_s": None}
@@ -114,8 +128,9 @@ def bench_reference():
     dt = time.time() - t0
     paths = SIZE * SIZE * SQRTSPP * SQRTSPP
     result = {"paths_per_s": paths / dt, "time_s": dt, "paths": paths}
-    BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
-    BASELINE_CACHE.write_text(json.dumps(result))
+    cache = json.loads(BASELINE_CACHE.read_text()) if BASELINE_CACHE.exists() else {}
+    cache[SCENE_NAME] = result
+    BASELINE_CACHE.write_text(json.dumps(cache))
     return result
 
 
@@ -130,7 +145,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "pt_rays_per_s_hexagon512_16spp",
+                "metric": f"pt_rays_per_s_{SCENE_NAME}512_{SQRTSPP*SQRTSPP}spp",
                 "value": round(ours["rays_per_s"], 1),
                 "unit": "rays/s",
                 "vs_baseline": round(vs, 3) if vs is not None else None,

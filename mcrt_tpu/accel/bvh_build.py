@@ -202,20 +202,26 @@ def build_bvh(
     bins: int = 16,
     max_leaf: int = 8,
     dtype=np.float32,
+    strict_leaf: bool = False,
 ) -> FlatBVH:
-    """Build a flat BVH over primitive AABBs (tri_min/tri_max: (P,3))."""
+    """Build a flat BVH over primitive AABBs (tri_min/tri_max: (P,3)).
+
+    strict_leaf=True forces splits until every leaf has <= max_leaf primitives
+    (needed for fixed-size cluster leaves); otherwise SAH may stop early up to 255
+    per leaf like the reference."""
     P = len(tri_min)
     ids = np.arange(P, dtype=np.int64)
     centers = (tri_min + tri_max) * 0.5
     import sys
 
+    limit = max_leaf if strict_leaf else 255
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 100000))
     try:
         if kind == "octree":
             root = _build_octree_style(ids, tri_min, tri_max, centers, max_leaf)
         else:
-            root = _build_recursive(ids, tri_min, tri_max, centers, max_leaf, bins)
+            root = _build_recursive(ids, tri_min, tri_max, centers, max_leaf, bins, limit)
             if kind == "quaternary_sah":
                 root = _collapse_to_quaternary(root)
         flat = _flatten(root, dtype)

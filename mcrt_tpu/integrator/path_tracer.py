@@ -136,6 +136,7 @@ def make_bounce_step(
         # Keep dead/missed lanes finite so NaNs can't leak through masked selects.
         t_safe = jnp.where(missed, jnp.asarray(1.0, dtype), hit.t)
         position = st.origin + st.direction * t_safe[:, None]
+        position = isect.refine_positions(tables, meta, hit.surf_id, position)
         geom_n_raw = isect.surface_normal(tables, meta, hit.surf_id, position)
         cos_g = g.dot(st.direction, geom_n_raw)
         inside = cos_g > 0.0

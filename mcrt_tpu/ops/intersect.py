@@ -57,14 +57,39 @@ def intersect_tris_block(origin, direction, v0, e1, e2, eps):
 
 
 def intersect_spheres_block(origin, direction, centers, radii):
-    """(R,) rays x (S,) spheres -> (t (R,S), valid). Reference sphere.cpp:13-26."""
-    so = origin[:, None, :] - centers[None, :, :]
-    b = 2.0 * jnp.sum(direction[:, None, :] * so, axis=-1)
-    c = jnp.sum(so * so, axis=-1) - radii[None, :] ** 2
-    valid, t_min, t_max = g.solve_quadratic(jnp.ones_like(b), b, c)
-    valid = valid & (t_max >= 0.0)
+    """(R,) rays x (S,) spheres -> (t (R,S), valid).
+
+    Same math as the reference's quadratic (sphere.cpp:13-26) but in the
+    cancellation-free vector-rejection form so it stays accurate in f32: the
+    perpendicular distance is computed from the rejection vector directly instead
+    of |so|^2 - t_ca^2 (whose f32 roundoff is ~1e-3 at typical scene scales and
+    visibly biases sphere shading)."""
+    so = centers[None, :, :] - origin[:, None, :]          # ray origin -> center
+    t_ca = jnp.sum(direction[:, None, :] * so, axis=-1)    # closest approach
+    perp = so - t_ca[..., None] * direction[:, None, :]
+    d2 = jnp.sum(perp * perp, axis=-1)
+    r2 = radii[None, :] ** 2
+    hit = d2 <= r2
+    t_hc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+    t_min = t_ca - t_hc
+    t_max = t_ca + t_hc
+    valid = hit & (t_max >= 0.0)
     t = jnp.where(t_min < 0.0, t_max, t_min)
     return t, valid
+
+
+def refine_positions(tables: "SceneTables", meta: "SceneMeta", surf_id, position):
+    """Snap hit points exactly onto analytic surfaces (spheres) to kill the f32
+    along-ray error accumulated in position = o + t*d."""
+    if not meta.n_sphs:
+        return position
+    sid = jnp.maximum(surf_id, 0)
+    sph_id = jnp.clip(sid - meta.sphere_offset, 0, max(meta.n_sphs - 1, 0))
+    center = tables.sph_origin[sph_id]
+    radius = tables.sph_radius[sph_id][:, None]
+    on_sphere = center + g.normalize(position - center) * radius
+    is_sph = (sid >= meta.sphere_offset) & (sid < meta.quad_offset)
+    return jnp.where(is_sph[:, None], on_sphere, position)
 
 
 def _slab_entry(origin, direction, bb_min, bb_max):

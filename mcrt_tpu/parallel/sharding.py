@@ -28,12 +28,14 @@ def make_mesh(devices=None, axis_name: str = "rays") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def sharded_render_step(tables, meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype):
-    """Returns jitted fn: (px, py, si, film) -> film, with rays sharded over the mesh
-    and the film psum-reduced so every device holds the full accumulator."""
+def sharded_render_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype):
+    """Returns jitted fn: (tables, px, py, si, film) -> film, with rays sharded over
+    the mesh, scene tables replicated, and the film psum-reduced so every device
+    holds the full accumulator. Tables are an argument, not a closure, so large
+    scenes don't get baked into the HLO as constants."""
     axis = mesh.axis_names[0]
 
-    def step(px, py, si, film_acc):
+    def step(tables, px, py, si, film_acc):
         rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
         radiance = pt.trace(
             tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index,
@@ -45,15 +47,15 @@ def sharded_render_step(tables, meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mes
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
         out_specs=P(),
     )
     return jax.jit(sharded)
 
 
-def sharded_train_step(tables, meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype):
+def sharded_train_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype):
     """Differentiable render step: returns jitted fn
-    (mat_reflectance, px, py, si, target) -> (loss, grad_reflectance).
+    (tables, mat_reflectance, px, py, si, target) -> (loss, grad_reflectance).
 
     This is the renderer-shaped "training step": pixel L2 loss against a target
     image, reverse-mode gradient w.r.t. material parameters via detached-sampling
@@ -62,7 +64,7 @@ def sharded_train_step(tables, meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh
     """
     axis = mesh.axis_names[0]
 
-    def loss_fn(mat_reflectance, px, py, si, target):
+    def loss_fn(mat_reflectance, tables, px, py, si, target):
         t = tables._replace(mat_reflectance=mat_reflectance)
         rays = cam_mod.generate_rays(cam, px, py, si, t.ior, cfg.global_seed, dtype)
         radiance = pt.trace(
@@ -74,16 +76,15 @@ def sharded_train_step(tables, meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh
         img = film_mod.scan(acc)
         return jnp.mean((img - target) ** 2)
 
-    def step(mat_reflectance, px, py, si, target):
-        loss, grad = jax.value_and_grad(loss_fn)(mat_reflectance, px, py, si, target)
-        # loss/grad computed from psum'd film are already replica-identical; mean
-        # keeps them well-defined if upstream ever partial-shards.
+    def step(tables, mat_reflectance, px, py, si, target):
+        loss, grad = jax.value_and_grad(loss_fn)(mat_reflectance, tables, px, py, si, target)
+        # loss/grad computed from psum'd film are already replica-identical.
         return loss, grad
 
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
     )
     return jax.jit(sharded)

@@ -32,11 +32,19 @@ class RenderConfig:
     integrator: str = "path_tracer"   # or "photon_mapper"
 
 
-def _chunk_render_fn(tables, meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype, intersect_fn=None):
-    """Builds the jitted (pixel_x, pixel_y, sample_index, film) -> film step."""
+def _chunk_render_fn(meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype):
+    """Builds the jitted (tables, cbvh, pixel_x, pixel_y, sample_index, film) -> film
+    step. Scene tables and the BVH are ARGUMENTS (pytrees), never closures — closing
+    over them would bake megabytes of geometry into the HLO as literal constants and
+    make tracing take minutes on large scenes."""
+    from .ops import cluster_bvh
 
-    @jax.jit
-    def run(px, py, si, film_acc):
+    @functools.partial(jax.jit, static_argnums=())
+    def run(tables, cbvh, px, py, si, film_acc):
+        if cbvh is not None:
+            intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, cbvh)
+        else:
+            intersect_fn = None
         rays = cam_mod.generate_rays(
             cam, px, py, si, tables.ior, cfg.global_seed, dtype
         )
@@ -49,15 +57,9 @@ def _chunk_render_fn(tables, meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, d
     return run
 
 
-def build_intersect_fn(scene: Scene, tables, meta, dtype):
-    """BVH-accelerated intersect when the scene requests one, else brute force."""
-    flat = scene.build_bvh(np.dtype(dtype))
-    if flat is None:
-        return None
-    from .ops import bvh_traverse
-
-    dbvh = bvh_traverse.device_bvh(flat, tables)
-    return bvh_traverse.make_intersect_fn(tables, meta, dbvh, flat.max_leaf)
+def build_device_bvh(scene: Scene, tables, dtype):
+    """ClusterBVH when the scene requests a BVH, else None."""
+    return scene.build_cluster_bvh(np.dtype(dtype))
 
 
 def render(
@@ -77,8 +79,9 @@ def render(
     ptcfg = pt.PTConfig(max_bounces=cfg.max_bounces, global_seed=cfg.global_seed)
     film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
 
-    intersect_fn = build_intersect_fn(scene, tables, meta, cfg.dtype)
-    run = _chunk_render_fn(tables, meta, ptcfg, cam, film_cfg, dtype, intersect_fn)
+    cbvh = build_device_bvh(scene, tables, cfg.dtype)
+    run0 = _chunk_render_fn(meta, ptcfg, cam, film_cfg, dtype)
+    run = lambda px, py, si, film_acc: run0(tables, cbvh, px, py, si, film_acc)
 
     # Build the (pixel, sample) megabatch lazily in chunks.
     n_pix = cam.width * cam.height

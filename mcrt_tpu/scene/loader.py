@@ -569,6 +569,29 @@ class Scene:
             cache[key] = build_bvh(mins, maxs, kind=kind, bins=bins, dtype=dtype)
         return cache[key]
 
+    def build_cluster_bvh(self, dtype=np.float32, cluster_size: int = 128):
+        """Fat-leaf cluster BVH for the MXU-dense intersector (see ops/cluster_bvh).
+        Cached per (dtype, cluster_size). None when the scene has no `bvh` block or
+        too few triangles to matter."""
+        if self.bvh_config is None or self.n_tris < 8:
+            return None
+        key = (np.dtype(dtype).name, cluster_size)
+        cache = getattr(self, "_cluster_cache", None)
+        if cache is None:
+            cache = self._cluster_cache = {}
+        if key not in cache:
+            from ..accel.bvh_build import build_bvh
+            from ..ops.cluster_bvh import upload_cluster_bvh
+
+            bins = int(self.bvh_config.get("bins_per_axis", 16))
+            mins, maxs = self.tri_bounds()
+            flat = build_bvh(
+                mins, maxs, kind="binary_sah", bins=bins,
+                max_leaf=cluster_size, dtype=dtype, strict_leaf=True,
+            )
+            cache[key] = upload_cluster_bvh(flat, self, dtype)
+        return cache[key]
+
     def meta(self) -> SceneMeta:
         return SceneMeta(
             n_tris=self.n_tris, n_sphs=self.n_sphs, n_quads=self.n_quads,

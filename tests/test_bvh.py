@@ -101,3 +101,64 @@ def test_render_with_bvh_matches_without(tmp_path):
     img_brute = render(s_brute, 0, cfg)
     # Same sampler decisions + same geometry -> identical paths (up to fp assoc.)
     np.testing.assert_allclose(img_bvh, img_brute, rtol=1e-4, atol=1e-4)
+
+
+def test_cluster_bvh_matches_brute_force():
+    """MXU-dense cluster intersection parity with brute-force Moller-Trumbore."""
+    import jax.numpy as jnp
+    from mcrt_tpu.accel.bvh_build import build_bvh
+    from mcrt_tpu.ops import cluster_bvh
+
+    n_tris, n_rays = 700, 512
+    v0, e1, e2 = _random_tris(n_tris, 7)
+    mins, maxs = _bounds(v0, e1, e2)
+    flat = build_bvh(mins, maxs, max_leaf=32, strict_leaf=True, dtype=np.float64)
+
+    class _S:
+        pass
+
+    sc = _S()
+    sc.tri_v0, sc.tri_e1, sc.tri_e2 = v0, e1, e2
+    cbvh = cluster_bvh.upload_cluster_bvh(flat, sc, np.float64)
+
+    rng = np.random.RandomState(8)
+    origin = jnp.asarray(rng.randn(n_rays, 3) * 20)
+    d = rng.randn(n_rays, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    direction = jnp.asarray(d)
+
+    bt, bid, bu, bv = cluster_bvh.traverse(cbvh, origin, direction, block=64)
+
+    tt, u, v, valid = isect.intersect_tris_block(
+        origin, direction, jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), jnp.asarray(1e-9)
+    )
+    tt = np.asarray(jnp.where(valid, tt, jnp.inf))
+    ref_idx = tt.argmin(axis=-1)
+    ref_t = tt.min(axis=-1)
+    ref_hit = np.isfinite(ref_t)
+
+    got_hit = np.asarray(bid) >= 0
+    np.testing.assert_array_equal(got_hit, ref_hit)
+    np.testing.assert_allclose(np.asarray(bt)[got_hit], ref_t[ref_hit], rtol=1e-7)
+    np.testing.assert_array_equal(np.asarray(bid)[got_hit], ref_idx[ref_hit])
+
+
+def test_render_with_cluster_bvh_matches_brute(tmp_path):
+    import json, pathlib
+    from mcrt_tpu import Scene, RenderConfig, render
+
+    ref = pathlib.Path("/root/reference/scenes/veach_mis.json")
+    j = json.loads(ref.read_text())
+    j["cameras"][0]["image"] = {"width": 32, "height": 32, "plain": True}
+    j["cameras"][0]["sqrtspp"] = 2
+    j["bvh"] = {"type": "binary_sah"}
+
+    s_bvh = Scene(j, scene_dir=ref.parent)
+    j2 = dict(j)
+    j2.pop("bvh")
+    s_brute = Scene(j2, scene_dir=ref.parent)
+
+    cfg = RenderConfig(dtype="float32", rays_per_chunk=1 << 12)
+    img_bvh = render(s_bvh, 0, cfg)
+    img_brute = render(s_brute, 0, cfg)
+    np.testing.assert_allclose(img_bvh, img_brute, rtol=2e-3, atol=2e-3)
