@@ -126,7 +126,12 @@ def intersect_cluster(feat_c, tri_id_c, rayF, o, d, best_t, best_id, best_u, bes
     the per-ray best hit.
     """
     S = tri_id_c.shape[-1]
-    out = jnp.einsum("bkf,bfn->bkn", rayF, feat_c, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the TPU default computes f32 matmuls with single-pass
+    # bf16 (~2e-3 rel error), which corrupts t enough to visibly shift hit points.
+    out = jnp.einsum(
+        "bkf,bfn->bkn", rayF, feat_c,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
     B, K = rayF.shape[0], rayF.shape[1]
     out = out.reshape(B, K, 4, S)
     det = out[:, :, 0, :]
@@ -259,6 +264,11 @@ def make_intersect_fn(tables: SceneTables, meta: SceneMeta, cbvh: ClusterBVH, bl
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
         best_t, best_id, u, v = traverse(cbvh, origin, direction, block)
         best_uv = jnp.stack([u, v], axis=-1)
+        # Re-evaluate the winner exactly (same gathered-triangle ops as the brute
+        # path) so BVH and no-BVH renders produce bitwise-identical hits.
+        from .intersect import refine_tri_hit
+
+        best_t, best_uv = refine_tri_hit(tables, meta, origin, direction, best_t, best_id, best_uv)
 
         if meta.n_sphs:
             t, valid = intersect_spheres_block(origin, direction, tables.sph_origin, tables.sph_radius)

@@ -56,6 +56,36 @@ def intersect_tris_block(origin, direction, v0, e1, e2, eps):
     return t, u, v, valid
 
 
+def refine_tri_hit(tables: "SceneTables", meta: "SceneMeta", origin, direction, t, surf_id, uv):
+    """Recompute (t, u, v) of the winning triangle with one exact Moller-Trumbore.
+
+    Both intersection paths (brute block and cluster-BVH matmul) funnel their
+    triangle winner through this single gathered-triangle evaluation, so the final
+    hit values are bitwise identical regardless of which acceleration path found
+    the winner. This is what lets BVH and no-BVH renders of the same scene produce
+    the same Monte Carlo sample paths (the cluster path's MXU bilinear forms are
+    only used for culling + winner selection, never as the reported hit)."""
+    if not meta.n_tris:
+        return t, uv
+    sid = jnp.maximum(surf_id, 0)
+    is_tri = (surf_id >= 0) & (sid < meta.sphere_offset)
+    tid = jnp.clip(sid, 0, meta.n_tris - 1)
+    v0 = tables.tri_v0[tid]
+    e1 = tables.tri_e1[tid]
+    e2 = tables.tri_e2[tid]
+    p = jnp.cross(direction, e2)
+    det = jnp.sum(p * e1, axis=-1)
+    inv_det = 1.0 / jnp.where(det == 0.0, jnp.asarray(1.0, det.dtype), det)
+    tvec = origin - v0
+    u = jnp.sum(p * tvec, axis=-1) * inv_det
+    q = jnp.cross(tvec, e1)
+    v = jnp.sum(q * direction, axis=-1) * inv_det
+    tt = jnp.sum(q * e2, axis=-1) * inv_det
+    t_out = jnp.where(is_tri, tt, t)
+    uv_out = jnp.where(is_tri[:, None], jnp.stack([u, v], axis=-1), uv)
+    return t_out, uv_out
+
+
 def intersect_spheres_block(origin, direction, centers, radii):
     """(R,) rays x (S,) spheres -> (t (R,S), valid).
 
@@ -166,6 +196,7 @@ def intersect_brute(tables: SceneTables, meta: SceneMeta, origin, direction) -> 
         best_id = jnp.where(hit_valid, idx.astype(jnp.int32) + meta.quad_offset, best_id)
         best_t = jnp.minimum(best_t, tt)
 
+    best_t, best_uv = refine_tri_hit(tables, meta, origin, direction, best_t, best_id, best_uv)
     return Hit(t=best_t, surf_id=best_id, uv=best_uv)
 
 
