@@ -1,0 +1,260 @@
+"""Shared integrator machinery: interaction setup, NEE, emissive MIS, BSDF bounce.
+
+This is the TPU analogue of the reference's Integrator base class + Interaction
+(/root/reference/source/integrator/integrator.cpp, source/ray/interaction.cpp): the
+per-hit frame/Fresnel setup, next-event estimation, BSDF-side MIS, and the
+event-select + new-ray block are pure functions over masked ray lanes, composed by
+both the path tracer and the photon mapper (emission pass and eye pass).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from ..materials import bsdf
+from ..ops import geometry as g
+from ..ops import intersect as isect
+from ..sampling import sobol
+from ..scene.loader import SceneMeta, SceneTables
+
+
+class Interaction(NamedTuple):
+    """Everything derived from one wavefront hit (reference interaction.cpp:12-53)."""
+    position: jnp.ndarray    # (R,3)
+    normal: jnp.ndarray      # (R,3) geometric, flipped toward the incoming ray
+    sn: jnp.ndarray          # (R,3) shading normal (same side as `normal`)
+    tb_t: jnp.ndarray        # (R,3) tangent
+    tb_b: jnp.ndarray        # (R,3) bitangent
+    wo_l: jnp.ndarray        # (R,3) local outgoing direction (toward previous vertex)
+    inside: jnp.ndarray      # (R,) bool
+    n1: jnp.ndarray          # (R,)
+    n2: jnp.ndarray          # (R,)
+    R_cl: jnp.ndarray        # (R,) clamped Fresnel reflect probability
+    T: jnp.ndarray           # (R,) transparency
+    mat: bsdf.MatParams
+    mat_id: jnp.ndarray      # (R,) int32
+    area: jnp.ndarray        # (R,)
+    radiosity: jnp.ndarray   # (R,3)
+    emissive_idx: jnp.ndarray  # (R,) int32, -1 if not emissive
+    t_safe: jnp.ndarray      # (R,) hit distance (1 on miss lanes)
+
+
+def interaction_setup(
+    tables: SceneTables,
+    meta: SceneMeta,
+    origin,
+    direction,
+    hit: isect.Hit,
+    iors,
+    ior_count,
+    refraction_level,
+    medium_ior,
+) -> Interaction:
+    """Per-hit frame, IOR ordering, Fresnel probabilities (interaction.cpp:12-53)."""
+    dtype = origin.dtype
+    missed = hit.surf_id < 0
+    t_safe = jnp.where(missed, jnp.asarray(1.0, dtype), hit.t)
+    position = origin + direction * t_safe[:, None]
+    position = isect.refine_positions(tables, meta, hit.surf_id, position)
+    geom_n_raw = isect.surface_normal(tables, meta, hit.surf_id, position)
+    cos_g = g.dot(direction, geom_n_raw)
+    inside = cos_g > 0.0
+
+    s = jnp.maximum(hit.surf_id, 0)
+    area = tables.surf_area[s]
+    mat_id = tables.surf_mat[s]
+    radiosity = tables.surf_radiosity[s]
+    emissive_idx = tables.surf_emissive_idx[s]
+    mat = bsdf.gather_materials(tables, mat_id)
+
+    external_ior = jnp.take_along_axis(
+        iors, jnp.clip(refraction_level - 1, 0, ior_count - 1)[:, None], axis=1
+    )[:, 0]
+    n1 = medium_ior
+    n2 = jnp.where(inside & ~mat.opaque, external_ior, mat.ior)
+
+    sn_raw = isect.shading_normal(tables, meta, hit.surf_id, hit.uv, geom_n_raw, direction)
+    flip = inside[:, None]
+    normal = jnp.where(flip, -geom_n_raw, geom_n_raw)
+    sn = jnp.where(flip, -sn_raw, sn_raw)
+    tb_t, tb_b = g.orthonormal_basis(sn)
+    out = -direction
+    wo_l = g.to_local(out, tb_t, tb_b, sn)
+
+    R_f = bsdf.fresnel_dielectric(n1, n2, g.dot(sn, out))
+    R_cl = jnp.where(mat.rough_specular, jnp.clip(R_f, 0.1, 0.9), R_f)
+    return Interaction(
+        position=position, normal=normal, sn=sn, tb_t=tb_t, tb_b=tb_b, wo_l=wo_l,
+        inside=inside, n1=n1, n2=n2, R_cl=R_cl, T=mat.transparency,
+        mat=mat, mat_id=mat_id, area=area, radiosity=radiosity,
+        emissive_idx=emissive_idx, t_safe=t_safe,
+    )
+
+
+def sample_emissive(ix: Interaction, direction, bounce, ray_dirac, prev_light,
+                    prev_bsdf_pdf, prev_select_prob, hit_surf_id, alive):
+    """BSDF-side MIS emission pickup (integrator.cpp:93-110). Returns (R,3) add."""
+    is_emissive = ix.emissive_idx >= 0
+    direct = (bounce == 0) | ray_dirac
+    out = -direction
+    cos_light = g.dot(out, ix.normal)
+    light_pdf_e = ix.t_safe * ix.t_safe / bsdf._safe(ix.area * cos_light)
+    mis_e = g.power_heuristic(prev_bsdf_pdf, light_pdf_e)
+    same_light = prev_light == hit_surf_id
+    emit = jnp.where(
+        direct[:, None],
+        ix.radiosity,
+        jnp.where(same_light[:, None], (mis_e / bsdf._safe(prev_select_prob))[:, None] * ix.radiosity, 0.0),
+    )
+    return jnp.where((alive & is_emissive & ~ix.inside)[:, None], emit, 0.0)
+
+
+def sample_direct(
+    tables: SceneTables,
+    ix: Interaction,
+    ctx,
+    intersect_fn: Callable,
+    eps,
+    alive,
+):
+    """Next-event estimation with MIS (integrator.cpp:31-87).
+
+    Returns (nee (R,3) unweighted by throughput, prev_light (R,), prev_select_prob,
+    shadow_rays (R,) int32 count contribution)."""
+    dtype = ix.position.dtype
+    R = ix.position.shape[0]
+    u_l0 = sobol.sample(ctx, 0)
+    u_l1 = sobol.sample(ctx, 1)
+    u_l2 = sobol.sample(ctx, 2)
+    n_l = tables.light_cdf.shape[0]
+    light_idx = jnp.clip(jnp.searchsorted(tables.light_cdf, u_l2, side="left"), 0, n_l - 1)
+    lsurf = tables.light_surf[light_idx]
+    select_prob = tables.light_select_prob[light_idx]
+    l_radiosity = tables.light_radiosity[light_idx]
+    l_area = tables.light_area[light_idx]
+    from .path_tracer import _sample_light_position
+
+    light_pos, l_normal = _sample_light_position(tables, light_idx, u_l0, u_l1)
+
+    shadow_o = ix.position + ix.normal * eps
+    sdir0 = g.normalize(light_pos - shadow_o)
+    cos_light_theta = g.dot(-sdir0, l_normal)
+    cos_theta_s = g.dot(sdir0, ix.normal)
+    retry = (cos_theta_s <= 0.0) & ~ix.mat.opaque & (cos_theta_s != 0.0)
+    shadow_o = jnp.where(retry[:, None], ix.position - ix.normal * eps, shadow_o)
+    sdir = g.normalize(light_pos - shadow_o)
+
+    sh = intersect_fn(shadow_o, sdir)
+    shadow_rays = jnp.sum((alive & ~ix.mat.dirac_delta).astype(jnp.int32))
+    vis = (sh.surf_id == lsurf) & (sh.surf_id >= 0)
+
+    nee_ok = (
+        alive & ~ix.mat.dirac_delta & (cos_light_theta > 0.0)
+        & ((cos_theta_s > 0.0) | retry) & vis
+    )
+    light_pdf = sh.t * sh.t / bsdf._safe(l_area * cos_light_theta)
+    wi_l = g.to_local(sdir, ix.tb_t, ix.tb_b, ix.sn)
+    f_nee, pdf_nee = bsdf.eval_layered(
+        ix.mat, ix.wo_l, wi_l, ix.n1, ix.n2, ix.inside, ix.R_cl, ix.T,
+        event=jnp.zeros_like(ix.mat_id), flux=False,
+        wi_dirac=jnp.zeros_like(alive),
+    )
+    bsdf_absidotn = f_nee * jnp.abs(wi_l[..., 2])[:, None]
+    nee_ok = nee_ok & (pdf_nee > 0.0)
+    mis_w = g.power_heuristic(light_pdf, pdf_nee)
+    nee = (mis_w / bsdf._safe(light_pdf * select_prob))[:, None] * bsdf_absidotn * l_radiosity
+    nee = jnp.where(nee_ok[:, None], nee, 0.0)
+    prev_light = jnp.where(ix.mat.dirac_delta | ~alive, -1, lsurf)
+    return nee, prev_light, select_prob, shadow_rays
+
+
+class Bounce(NamedTuple):
+    """Result of event selection + new-ray spawn + BSDF weight (ray.cpp:16-66 and
+    interaction.cpp:56-72,156-183)."""
+    new_dir: jnp.ndarray          # (R,3)
+    new_origin: jnp.ndarray       # (R,3)
+    new_medium: jnp.ndarray       # (R,)
+    did_refract: jnp.ndarray      # (R,) bool
+    dirac_next: jnp.ndarray       # (R,) bool
+    is_diffuse: jnp.ndarray       # (R,) bool
+    weight: jnp.ndarray           # (R,3) f * |wi.z| / pdf (1 on invalid lanes)
+    pdf: jnp.ndarray              # (R,)
+    valid: jnp.ndarray            # (R,) bool
+    level_delta: jnp.ndarray      # (R,) int32
+    refr_scale_mult: jnp.ndarray  # (R,)
+
+
+def bsdf_bounce(ix: Interaction, direction, ctx, eps, flux: bool) -> Bounce:
+    """Stochastic event selection and new ray (Sobol dims 3,4 = BSDF, 5 = event)."""
+    u_b0 = sobol.sample(ctx, 3)
+    u_b1 = sobol.sample(ctx, 4)
+    u_int = sobol.sample(ctx, 5)
+    mat = ix.mat
+    event = bsdf.select_event(mat, ix.n2, ix.R_cl, ix.T, u_int)
+    dirac_next = (event != bsdf.DIFFUSE) & ~mat.rough_specular
+
+    vndf_l = bsdf.ggx_visible_microfacet(u_b0, u_b1, ix.wo_l, mat.specular_roughness)
+    spec_n = jnp.where(
+        mat.rough_specular[:, None], g.from_local(vndf_l, ix.tb_t, ix.tb_b, ix.sn), ix.sn
+    )
+    refl_dir = g.reflect(direction, spec_n)
+    inv_eta = ix.n1 / bsdf._safe(ix.n2)
+    cos_m = g.dot(spec_n, direction)
+    k = 1.0 - inv_eta * inv_eta * (1.0 - cos_m * cos_m)
+    refr_ok = k >= 0.0
+    refr_dir = (
+        inv_eta[:, None] * direction
+        - (inv_eta * cos_m + jnp.sqrt(jnp.maximum(k, 0.0)))[:, None] * spec_n
+    )
+    tir_dir = direction - spec_n * (2.0 * cos_m)[:, None]
+    diff_dir = g.from_local(g.cos_weighted_hemi(u_b0, u_b1), ix.tb_t, ix.tb_b, ix.sn)
+
+    is_refl = event == bsdf.REFLECT
+    is_refr = event == bsdf.REFRACT
+    is_diff = event == bsdf.DIFFUSE
+    did_refract = is_refr & refr_ok
+
+    new_dir = jnp.where(
+        is_refl[:, None], refl_dir,
+        jnp.where(is_refr[:, None], jnp.where(refr_ok[:, None], refr_dir, tir_dir), diff_dir),
+    )
+    new_dir = g.normalize(new_dir)
+    new_medium = jnp.where(did_refract, ix.n2, ix.n1)
+    new_origin = ix.position + jnp.where(did_refract[:, None], -ix.normal * eps, ix.normal * eps)
+    level_delta = jnp.where(did_refract, jnp.where(ix.inside, -1, 1), 0)
+    refr_scale_mult = jnp.where(did_refract, (ix.n2 / bsdf._safe(ix.n1)) ** 2, 1.0)
+
+    wi_l_new = g.to_local(new_dir, ix.tb_t, ix.tb_b, ix.sn)
+    valid = jnp.where(did_refract, wi_l_new[..., 2] < 0.0, wi_l_new[..., 2] > 0.0)
+    f_new, pdf_new = bsdf.eval_layered(
+        mat, ix.wo_l, wi_l_new, ix.n1, ix.n2, ix.inside, ix.R_cl, ix.T,
+        event=event, flux=flux, wi_dirac=dirac_next,
+    )
+    valid = valid & (pdf_new > 0.0)
+    weight = jnp.where(
+        valid[:, None],
+        f_new * (jnp.abs(wi_l_new[..., 2]) / bsdf._safe(pdf_new))[:, None],
+        1.0,
+    )
+    return Bounce(
+        new_dir=new_dir, new_origin=new_origin, new_medium=new_medium,
+        did_refract=did_refract, dirac_next=dirac_next, is_diffuse=is_diff,
+        weight=weight, pdf=pdf_new, valid=valid,
+        level_delta=level_delta, refr_scale_mult=refr_scale_mult,
+    )
+
+
+def update_ior_stack(iors, ior_count, refraction_level, level_delta, new_medium, K: int):
+    """RefractionHistory push/pop for the new ray (ray.cpp:80-98)."""
+    R = iors.shape[0]
+    rows = jnp.arange(R)
+    new_level = refraction_level + level_delta
+    push = (new_level > 0) & (new_level == ior_count)
+    pop = (new_level > 0) & (new_level < ior_count - 1)
+    slot = jnp.clip(ior_count, 0, K - 1)
+    cur = iors[rows, slot]
+    iors = iors.at[rows, slot].set(jnp.where(push, new_medium, cur))
+    ior_count = ior_count + jnp.where(push, 1, 0) - jnp.where(pop, 1, 0)
+    ior_count = jnp.clip(ior_count, 1, K)
+    return iors, ior_count, new_level

@@ -23,6 +23,7 @@ from ..ops import geometry as g
 from ..ops import intersect as isect
 from ..sampling import sobol
 from ..scene.loader import SceneMeta, SceneTables
+from . import common
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,164 +134,34 @@ def make_bounce_step(
             )
         alive = st.alive & ~missed
 
-        # Keep dead/missed lanes finite so NaNs can't leak through masked selects.
-        t_safe = jnp.where(missed, jnp.asarray(1.0, dtype), hit.t)
-        position = st.origin + st.direction * t_safe[:, None]
-        position = isect.refine_positions(tables, meta, hit.surf_id, position)
-        geom_n_raw = isect.surface_normal(tables, meta, hit.surf_id, position)
-        cos_g = g.dot(st.direction, geom_n_raw)
-        inside = cos_g > 0.0
-
-        area, mat_id, radiosity, emissive_idx = _gather_surface(tables, meta, hit.surf_id)
-        mat = bsdf.gather_materials(tables, mat_id)
-
-        external_ior = jnp.take_along_axis(
-            st.iors, jnp.clip(st.refraction_level - 1, 0, st.ior_count - 1)[:, None], axis=1
-        )[:, 0]
-        n1 = st.medium_ior
-        n2 = jnp.where(inside & ~mat.opaque, external_ior, mat.ior)
-
-        sn_raw = isect.shading_normal(tables, meta, hit.surf_id, hit.uv, geom_n_raw, st.direction)
-        flip = inside[:, None]
-        normal = jnp.where(flip, -geom_n_raw, geom_n_raw)
-        sn = jnp.where(flip, -sn_raw, sn_raw)
-        tb_t, tb_b = g.orthonormal_basis(sn)
-        out = -st.direction
-        wo_l = g.to_local(out, tb_t, tb_b, sn)
-
-        R_f = bsdf.fresnel_dielectric(n1, n2, g.dot(sn, out))
-        R_cl = jnp.where(mat.rough_specular, jnp.clip(R_f, 0.1, 0.9), R_f)
-        T = mat.transparency
+        ix = common.interaction_setup(
+            tables, meta, st.origin, st.direction, hit,
+            st.iors, st.ior_count, st.refraction_level, st.medium_ior,
+        )
 
         # ---- sampleEmissive (integrator.cpp:93-110) ----
-        is_emissive = emissive_idx >= 0
-        direct = (st.bounce == 0) | st.ray_dirac
-        cos_light = g.dot(out, normal)
-        light_pdf_e = t_safe * t_safe / bsdf._safe(area * cos_light)
-        mis_e = g.power_heuristic(st.prev_bsdf_pdf, light_pdf_e)
-        same_light = st.prev_light == hit.surf_id
-        emit = jnp.where(
-            direct[:, None],
-            radiosity,
-            jnp.where(same_light[:, None], (mis_e / bsdf._safe(st.prev_select_prob))[:, None] * radiosity, 0.0),
-        )
-        radiance = radiance + jnp.where(
-            (alive & is_emissive & ~inside)[:, None], st.throughput * emit, 0.0
+        radiance = radiance + st.throughput * common.sample_emissive(
+            ix, st.direction, st.bounce, st.ray_dirac, st.prev_light,
+            st.prev_bsdf_pdf, st.prev_select_prob, hit.surf_id, alive,
         )
 
         # ---- sampleDirect / NEE (integrator.cpp:31-87) ----
         if meta.has_lights:
-            u_l0 = sobol.sample(ctx, 0)
-            u_l1 = sobol.sample(ctx, 1)
-            u_l2 = sobol.sample(ctx, 2)
-            n_l = tables.light_cdf.shape[0]
-            light_idx = jnp.clip(
-                jnp.searchsorted(tables.light_cdf, u_l2, side="left"), 0, n_l - 1
+            nee, prev_light, prev_select_prob, shadow_rays = common.sample_direct(
+                tables, ix, ctx, intersect_fn, eps, alive
             )
-            lsurf = tables.light_surf[light_idx]
-            select_prob = tables.light_select_prob[light_idx]
-            l_radiosity = tables.light_radiosity[light_idx]
-            l_area = tables.light_area[light_idx]
-            light_pos, l_normal = _sample_light_position(tables, light_idx, u_l0, u_l1)
-
-            shadow_o = position + normal * eps
-            sdir0 = g.normalize(light_pos - shadow_o)
-            cos_light_theta = g.dot(-sdir0, l_normal)
-            cos_theta_s = g.dot(sdir0, normal)
-            # transmission retry from below the surface for non-opaque backfacing
-            retry = (cos_theta_s <= 0.0) & ~mat.opaque & (cos_theta_s != 0.0)
-            shadow_o = jnp.where(retry[:, None], position - normal * eps, shadow_o)
-            sdir = g.normalize(light_pos - shadow_o)
-
-            sh = intersect_fn(shadow_o, sdir)
-            ray_count = ray_count + jnp.sum((alive & ~mat.dirac_delta).astype(jnp.int32))
-            vis = (sh.surf_id == lsurf) & (sh.surf_id >= 0)
-
-            nee_ok = (
-                alive
-                & ~mat.dirac_delta
-                & (cos_light_theta > 0.0)
-                & ((cos_theta_s > 0.0) | retry)
-                & vis
-            )
-            light_pdf = sh.t * sh.t / bsdf._safe(l_area * cos_light_theta)
-            wi_l = g.to_local(sdir, tb_t, tb_b, sn)
-            f_nee, pdf_nee = bsdf.eval_layered(
-                mat, wo_l, wi_l, n1, n2, inside, R_cl, T,
-                event=jnp.zeros_like(mat_id), flux=False,
-                wi_dirac=jnp.zeros_like(alive),
-            )
-            bsdf_absidotn = f_nee * jnp.abs(wi_l[..., 2])[:, None]
-            nee_ok = nee_ok & (pdf_nee > 0.0)
-            mis_w = g.power_heuristic(light_pdf, pdf_nee)
-            nee = (mis_w / bsdf._safe(light_pdf * select_prob))[:, None] * bsdf_absidotn * l_radiosity
-            radiance = radiance + jnp.where(nee_ok[:, None], st.throughput * nee, 0.0)
-            prev_light = jnp.where(mat.dirac_delta | ~alive, -1, lsurf)
-            prev_select_prob = select_prob
+            radiance = radiance + st.throughput * nee
+            ray_count = ray_count + shadow_rays
         else:
             prev_light = jnp.full((R,), -1, jnp.int32)
             prev_select_prob = jnp.ones((R,), dtype)
 
-        # ---- event selection + new ray (interaction.cpp:156-183, ray.cpp:16-66) ----
-        u_b0 = sobol.sample(ctx, 3)
-        u_b1 = sobol.sample(ctx, 4)
-        u_int = sobol.sample(ctx, 5)
-        event = bsdf.select_event(mat, n2, R_cl, T, u_int)
-        dirac_next = (event != bsdf.DIFFUSE) & ~mat.rough_specular
-
-        vndf_l = bsdf.ggx_visible_microfacet(u_b0, u_b1, wo_l, mat.specular_roughness)
-        spec_n = jnp.where(
-            mat.rough_specular[:, None], g.from_local(vndf_l, tb_t, tb_b, sn), sn
-        )
-        # REFLECT
-        refl_dir = g.reflect(st.direction, spec_n)
-        # REFRACT (with TIR fallback)
-        inv_eta = n1 / bsdf._safe(n2)
-        cos_m = g.dot(spec_n, st.direction)
-        k = 1.0 - inv_eta * inv_eta * (1.0 - cos_m * cos_m)
-        refr_ok = k >= 0.0
-        refr_dir = (
-            inv_eta[:, None] * st.direction
-            - (inv_eta * cos_m + jnp.sqrt(jnp.maximum(k, 0.0)))[:, None] * spec_n
-        )
-        tir_dir = st.direction - spec_n * (2.0 * cos_m)[:, None]
-        # DIFFUSE
-        diff_dir = g.from_local(g.cos_weighted_hemi(u_b0, u_b1), tb_t, tb_b, sn)
-
-        is_refl = event == bsdf.REFLECT
-        is_refr = event == bsdf.REFRACT
-        is_diff = event == bsdf.DIFFUSE
-        did_refract = is_refr & refr_ok
-
-        new_dir = jnp.where(
-            is_refl[:, None], refl_dir,
-            jnp.where(is_refr[:, None], jnp.where(refr_ok[:, None], refr_dir, tir_dir), diff_dir),
-        )
-        new_dir = g.normalize(new_dir)
-        new_medium = jnp.where(did_refract, n2, n1)
-        new_origin = position + jnp.where(did_refract[:, None], -normal * eps, normal * eps)
-        new_level = st.refraction_level + jnp.where(
-            did_refract, jnp.where(inside, -1, 1), 0
-        )
-        new_refr_scale = st.refraction_scale * jnp.where(
-            did_refract, (n2 / bsdf._safe(n1)) ** 2, 1.0
-        )
-        diffuse_depth = st.diffuse_depth + is_diff.astype(jnp.int32)
-
-        # ---- BSDF throughput (interaction.cpp:56-72) ----
-        wi_l_new = g.to_local(new_dir, tb_t, tb_b, sn)
-        valid = jnp.where(did_refract, wi_l_new[..., 2] < 0.0, wi_l_new[..., 2] > 0.0)
-        f_new, pdf_new = bsdf.eval_layered(
-            mat, wo_l, wi_l_new, n1, n2, inside, R_cl, T,
-            event=event, flux=False, wi_dirac=dirac_next,
-        )
-        valid = valid & (pdf_new > 0.0)
-        throughput = st.throughput * jnp.where(
-            valid[:, None],
-            f_new * (jnp.abs(wi_l_new[..., 2]) / bsdf._safe(pdf_new))[:, None],
-            1.0,
-        )
-        alive = alive & valid
+        # ---- event selection + new ray + BSDF throughput ----
+        b = common.bsdf_bounce(ix, st.direction, ctx, eps, flux=False)
+        diffuse_depth = st.diffuse_depth + b.is_diffuse.astype(jnp.int32)
+        new_refr_scale = st.refraction_scale * b.refr_scale_mult
+        throughput = st.throughput * b.weight
+        alive = alive & b.valid
 
         # ---- Russian roulette (integrator.cpp:112-129); new ray depth = bounce+1 ----
         u_abs = sobol.sample(ctx, 6)
@@ -305,24 +176,19 @@ def make_bounce_step(
         alive = alive & (survive > 0.0) & ~rr_kill
 
         # ---- RefractionHistory update (ray.cpp:80-98) with the new ray ----
-        rows = jnp.arange(R)
-        push = (new_level > 0) & (new_level == st.ior_count)
-        pop = (new_level > 0) & (new_level < st.ior_count - 1)
-        slot = jnp.clip(st.ior_count, 0, K - 1)
-        cur = st.iors[rows, slot]
-        iors = st.iors.at[rows, slot].set(jnp.where(push, new_medium, cur))
-        ior_count = st.ior_count + jnp.where(push, 1, 0) - jnp.where(pop, 1, 0)
-        ior_count = jnp.clip(ior_count, 1, K)
+        iors, ior_count, new_level = common.update_ior_stack(
+            st.iors, st.ior_count, st.refraction_level, b.level_delta, b.new_medium, K
+        )
 
         return PathState(
             bounce=st.bounce + 1,
             ray_count=ray_count,
-            origin=new_origin,
-            direction=new_dir,
-            medium_ior=new_medium,
+            origin=b.new_origin,
+            direction=b.new_dir,
+            medium_ior=b.new_medium,
             refraction_scale=new_refr_scale,
-            ray_dirac=dirac_next,
-            ray_refraction=did_refract,
+            ray_dirac=b.dirac_next,
+            ray_refraction=b.did_refract,
             diffuse_depth=diffuse_depth,
             refraction_level=new_level,
             iors=iors,
@@ -331,7 +197,7 @@ def make_bounce_step(
             radiance=radiance,
             alive=alive,
             prev_light=prev_light,
-            prev_bsdf_pdf=pdf_new,
+            prev_bsdf_pdf=b.pdf,
             prev_select_prob=prev_select_prob,
         )
 
