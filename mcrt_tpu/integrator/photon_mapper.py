@@ -1,0 +1,461 @@
+"""Two-pass photon mapper: device emission pass + grid k-NN radiance estimates.
+
+Capability parity with the reference photon mapper
+(/root/reference/source/integrator/photon-mapper/photon-mapper.cpp), re-architected
+for TPU:
+
+* Pass 1 (photon tracing, photon-mapper.cpp:24-232 / emitPhoton :234-277): instead
+  of threads pulling 100k-emission work units, emissions are a device megabatch; a
+  fixed-length `lax.scan` advances all photons one bounce per step in flux-transport
+  mode and writes (position, direction, flux, caustic/global flags) per bounce into
+  dense output buffers, compacted on the host afterwards. Caustic photons are stored
+  when the incoming ray was dirac-spawned, global photons with 1/caustic_factor
+  rejection (:244-255); constant-flux Russian roulette keeps photon flux stable
+  (:264-273).
+
+* The octree k-NN (linear-octree.cpp) becomes the uniform photon grid of
+  mcrt_tpu.accel.photon_grid: cell-sorted SoA photons + fixed-shape 27-cell gather +
+  lax.top_k.
+
+* Pass 2 (sampleRay, photon-mapper.cpp:279-341): a masked wavefront loop follows
+  specular chains; caustic radiance is estimated at every non-dirac interaction;
+  the global estimate is delayed one diffuse bounce unless `direct_visualization`.
+  Estimates follow :343-391: global = sum(flux * bsdf_absIdotN / pdf) / (pi r_k^2),
+  caustic = cone-filtered (w_p = 1 - d/r_k) * 3 / (pi r_k^2).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel import photon_grid as pgrid
+from ..materials import bsdf
+from ..ops import geometry as g
+from ..ops import intersect as isect
+from ..sampling import sobol
+from ..scene.loader import SceneMeta, SceneTables
+from . import common
+from .path_tracer import PTConfig, _sample_light_position, ray_offset_eps
+
+
+@dataclasses.dataclass(frozen=True)
+class PMConfig:
+    emissions: int = 100_000
+    caustic_factor: float = 1.0
+    k_nearest_photons: int = 50
+    direct_visualization: bool = False
+    max_photon_bounces: int = 48
+    max_eye_bounces: int = 64
+    min_ray_depth: int = 3
+    min_priority_ray_depth: int = 16
+    ior_stack_size: int = 8
+    global_seed: int = 0
+    emission_chunk: int = 1 << 16
+
+    @staticmethod
+    def from_json(j: dict | None, **over) -> "PMConfig":
+        j = j or {}
+        kw = dict(
+            emissions=int(j.get("emissions", 100_000)),
+            caustic_factor=float(j.get("caustic_factor", 1.0)),
+            k_nearest_photons=int(j.get("k_nearest_photons", 50)),
+            direct_visualization=bool(j.get("direct_visualization", False)),
+        )
+        kw.update(over)
+        return PMConfig(**kw)
+
+
+class PhotonMaps(NamedTuple):
+    caustic: pgrid.PhotonGrid
+    global_: pgrid.PhotonGrid
+
+
+# ----------------------------------------------------------------------------------
+# Pass 1: emission
+# ----------------------------------------------------------------------------------
+
+class _EmitState(NamedTuple):
+    origin: jnp.ndarray
+    direction: jnp.ndarray
+    flux: jnp.ndarray
+    medium_ior: jnp.ndarray
+    refraction_level: jnp.ndarray
+    iors: jnp.ndarray
+    ior_count: jnp.ndarray
+    ray_dirac: jnp.ndarray
+    alive: jnp.ndarray
+
+
+def _make_emission_step(tables, meta, cfg: PMConfig, intersect_fn, light_idx, emission_idx):
+    dtype = tables.tri_v0.dtype
+    eps = jnp.asarray(ray_offset_eps(dtype), dtype)
+    base_ctx = sobol.make_ctx(cfg.global_seed, light_idx, emission_idx, dtype)
+    non_caustic_reject = 1.0 / cfg.caustic_factor
+    K = cfg.ior_stack_size
+
+    def step(st: _EmitState, bounce):
+        ctx = sobol.shuffled(base_ctx, bounce + 1)
+        hit = intersect_fn(st.origin, st.direction)
+        alive = st.alive & (hit.surf_id >= 0)
+
+        ix = common.interaction_setup(
+            tables, meta, st.origin, st.direction, hit,
+            st.iors, st.ior_count, st.refraction_level, st.medium_ior,
+        )
+
+        # Photon deposit (photon-mapper.cpp:242-255): only at non-dirac materials.
+        can_store = alive & ~ix.mat.dirac_delta
+        caustic_mask = can_store & st.ray_dirac
+        u_rej = sobol.sample(ctx, 2)
+        global_mask = can_store & ~st.ray_dirac & (non_caustic_reject > u_rej)
+        out_pos = ix.position
+        out_dir = -st.direction
+        out_flux = jnp.where(
+            caustic_mask[:, None], st.flux,
+            st.flux / jnp.asarray(non_caustic_reject, dtype),
+        )
+
+        # Importance-transport BSDF bounce + constant-flux RR (:257-273)
+        b = common.bsdf_bounce(ix, st.direction, ctx, eps, flux=True)
+        survive = jnp.minimum(jnp.max(b.weight, axis=-1), jnp.asarray(0.95, dtype))
+        u_abs = sobol.sample(ctx, 6)
+        live_next = alive & b.valid & (survive > 0.0) & (survive > u_abs)
+        flux = st.flux * b.weight / bsdf._safe(survive)[:, None]
+
+        iors, ior_count, new_level = common.update_ior_stack(
+            st.iors, st.ior_count, st.refraction_level, b.level_delta, b.new_medium, K
+        )
+        nxt = _EmitState(
+            origin=b.new_origin, direction=b.new_dir, flux=flux,
+            medium_ior=b.new_medium, refraction_level=new_level,
+            iors=iors, ior_count=ior_count, ray_dirac=b.dirac_next, alive=live_next,
+        )
+        ys = (out_pos, out_dir, out_flux, caustic_mask, global_mask)
+        return nxt, ys
+
+    return step
+
+
+def emission_plan(scene_np, cfg: PMConfig):
+    """Host-side flux-proportional emission split (photon-mapper.cpp:63-78).
+
+    Returns (light_idx (E,) int32, flux_per_photon (L,3)) where E = total emissions
+    scaled by caustic_factor."""
+    radiosity = np.asarray(scene_np.light_radiosity, np.float64)
+    area = np.asarray(scene_np.light_area, np.float64)
+    light_flux = radiosity * area[:, None]           # (L,3)
+    total = float(light_flux.sum())
+    total_emissions = int(cfg.emissions * cfg.caustic_factor)
+    shares = light_flux.sum(axis=1) / total
+    counts = (total_emissions * shares).astype(np.int64)
+    counts = np.maximum(counts, 1)
+    flux_per_photon = light_flux / counts[:, None]
+    light_idx = np.repeat(np.arange(len(counts), dtype=np.int32), counts)
+    emission_idx = np.concatenate([np.arange(c, dtype=np.uint32) for c in counts])
+    return light_idx, emission_idx, flux_per_photon
+
+
+def emit_photons(
+    tables: SceneTables,
+    meta: SceneMeta,
+    cfg: PMConfig,
+    scene_np,
+    intersect_fn: Callable | None = None,
+    verbose: bool = False,
+):
+    """Run pass 1. Returns (caustic, global) photon SoA numpy triples."""
+    dtype = tables.tri_v0.dtype
+    if intersect_fn is None:
+        intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
+
+    light_idx_all, emission_idx_all, flux_pp = emission_plan(scene_np, cfg)
+    flux_pp_dev = jnp.asarray(flux_pp, dtype)
+    E = len(light_idx_all)
+    eps = jnp.asarray(ray_offset_eps(dtype), dtype)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run_chunk(light_idx, emission_idx):
+        ctx0 = sobol.make_ctx(cfg.global_seed, light_idx, emission_idx, dtype)
+        u0 = sobol.sample(ctx0, 0)
+        u1 = sobol.sample(ctx0, 1)
+        u2 = sobol.sample(ctx0, 2)
+        u3 = sobol.sample(ctx0, 3)
+        pos, normal = _sample_light_position(tables, light_idx.astype(jnp.int32), u0, u1)
+        t, bvec = g.orthonormal_basis(normal)
+        direction = g.from_local(g.cos_weighted_hemi(u2, u3), t, bvec, normal)
+        origin = pos + normal * eps
+
+        R = origin.shape[0]
+        f0 = origin[:, 0] * 0.0
+        i0 = (light_idx * 0).astype(jnp.int32)
+        st = _EmitState(
+            origin=origin,
+            direction=direction,
+            flux=flux_pp_dev[light_idx.astype(jnp.int32)],
+            medium_ior=f0 + tables.ior.astype(dtype),
+            refraction_level=i0,
+            iors=(f0 + tables.ior.astype(dtype))[:, None] * jnp.ones((1, cfg.ior_stack_size), dtype),
+            ior_count=i0 + 1,
+            ray_dirac=i0 != 0,
+            alive=i0 == 0,
+        )
+        step = _make_emission_step(tables, meta, cfg, intersect_fn, light_idx, emission_idx)
+        _, ys = jax.lax.scan(step, st, jnp.arange(cfg.max_photon_bounces, dtype=jnp.uint32))
+        return ys  # each (B, R, ...)
+
+    caustic_out = {"pos": [], "dir": [], "flux": []}
+    global_out = {"pos": [], "dir": [], "flux": []}
+    chunk = cfg.emission_chunk
+    done = 0
+    while done < E:
+        n = min(chunk, E - done)
+        li = jnp.asarray(light_idx_all[done : done + n].astype(np.uint32))
+        ei = jnp.asarray(emission_idx_all[done : done + n])
+        pos, pdir, pflux, cmask, gmask = jax.device_get(run_chunk(li, ei))
+        for mask, out in ((cmask, caustic_out), (gmask, global_out)):
+            m = mask.reshape(-1)
+            out["pos"].append(pos.reshape(-1, 3)[m])
+            out["dir"].append(pdir.reshape(-1, 3)[m])
+            out["flux"].append(pflux.reshape(-1, 3)[m])
+        done += n
+        if verbose:
+            print(f"\rphotons emitted: {done}/{E}", end="", flush=True)
+    if verbose:
+        print()
+
+    def cat(out):
+        return (
+            np.concatenate(out["pos"]) if out["pos"] else np.zeros((0, 3)),
+            np.concatenate(out["dir"]) if out["dir"] else np.zeros((0, 3)),
+            np.concatenate(out["flux"]) if out["flux"] else np.zeros((0, 3)),
+        )
+
+    return cat(caustic_out), cat(global_out)
+
+
+def build_photon_maps(
+    tables, meta, cfg: PMConfig, scene_np, intersect_fn=None, verbose=False
+) -> PhotonMaps:
+    (cp, cd, cf), (gp, gd, gf) = emit_photons(
+        tables, meta, cfg, scene_np, intersect_fn, verbose
+    )
+    dtype = np.dtype(tables.tri_v0.dtype.name)
+    k = cfg.k_nearest_photons
+    return PhotonMaps(
+        caustic=pgrid.build_photon_grid(cp, cd, cf, k, dtype),
+        global_=pgrid.build_photon_grid(gp, gd, gf, k, dtype),
+    )
+
+
+# ----------------------------------------------------------------------------------
+# Radiance estimates (photon-mapper.cpp:343-391)
+# ----------------------------------------------------------------------------------
+
+def _expand_mat(mat: bsdf.MatParams) -> bsdf.MatParams:
+    """(R,...) material params -> (R,1,...) for broadcasting against (R,k,...)"""
+    return jax.tree_util.tree_map(lambda x: x[:, None], mat)
+
+
+def _estimate(
+    grid: pgrid.PhotonGrid,
+    arrays: pgrid.PhotonGridArrays,
+    ix: common.Interaction,
+    k: int,
+    cone: bool,
+):
+    """Shared k-NN radiance estimate. cone=True -> caustic filter, else global."""
+    dtype = ix.position.dtype
+    if grid.empty:
+        return jnp.zeros_like(ix.position)
+    d2, idx, valid = pgrid.knn(grid, arrays, ix.position, k)
+    r2k = jnp.max(jnp.where(valid, d2, 0.0), axis=1)              # k-th (max) distance^2
+    any_found = jnp.any(valid, axis=1)
+
+    wi_w = arrays.direction[idx]                                   # (R,k,3)
+    flux = arrays.flux[idx]
+    wi_l = g.to_local(wi_w, ix.tb_t[:, None], ix.tb_b[:, None], ix.sn[:, None])
+    mat_e = _expand_mat(ix.mat)
+    f, pdf = bsdf.eval_layered(
+        mat_e, ix.wo_l[:, None], wi_l,
+        ix.n1[:, None], ix.n2[:, None], ix.inside[:, None],
+        ix.R_cl[:, None], ix.T[:, None],
+        event=jnp.zeros(wi_l.shape[:2], jnp.int32), flux=False,
+        wi_dirac=jnp.zeros(wi_l.shape[:2], bool),
+    )
+    absidotn = f * jnp.abs(wi_l[..., 2])[..., None]
+    ok = valid & (pdf > 0.0)
+    contrib = jnp.where(ok[..., None], flux * absidotn / bsdf._safe(pdf)[..., None], 0.0)
+    if cone:
+        wp = jnp.maximum(0.0, 1.0 - jnp.sqrt(d2 / bsdf._safe(r2k)[:, None]))
+        contrib = contrib * jnp.where(ok, wp, 0.0)[..., None]
+        total = jnp.sum(contrib, axis=1) * (3.0 / jnp.pi) / bsdf._safe(r2k)[:, None]
+    else:
+        total = jnp.sum(contrib, axis=1) / (jnp.pi * bsdf._safe(r2k))[:, None]
+    return jnp.where(any_found[:, None], total, jnp.zeros_like(total)).astype(dtype)
+
+
+# ----------------------------------------------------------------------------------
+# Pass 2: eye paths
+# ----------------------------------------------------------------------------------
+
+class _EyeState(NamedTuple):
+    bounce: jnp.ndarray
+    origin: jnp.ndarray
+    direction: jnp.ndarray
+    medium_ior: jnp.ndarray
+    refraction_scale: jnp.ndarray
+    ray_dirac: jnp.ndarray
+    diffuse_depth: jnp.ndarray
+    refraction_level: jnp.ndarray
+    iors: jnp.ndarray
+    ior_count: jnp.ndarray
+    throughput: jnp.ndarray
+    radiance: jnp.ndarray
+    alive: jnp.ndarray
+    prev_light: jnp.ndarray
+    prev_bsdf_pdf: jnp.ndarray
+    prev_select_prob: jnp.ndarray
+
+
+def trace(
+    tables: SceneTables,
+    meta: SceneMeta,
+    cfg: PMConfig,
+    maps: PhotonMaps,
+    caustic_arrays: pgrid.PhotonGridArrays,
+    global_arrays: pgrid.PhotonGridArrays,
+    origin,
+    direction,
+    pixel_index,
+    sample_index,
+    intersect_fn: Callable | None = None,
+):
+    """Photon-mapping eye pass for a batch of camera rays -> (R,3) radiance."""
+    dtype = origin.dtype
+    R = origin.shape[0]
+    if intersect_fn is None:
+        intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
+    eps = jnp.asarray(ray_offset_eps(dtype), dtype)
+    base_ctx = sobol.make_ctx(cfg.global_seed, pixel_index, sample_index, dtype)
+    K = cfg.ior_stack_size
+    k = cfg.k_nearest_photons
+
+    def step(st: _EyeState) -> _EyeState:
+        ctx = sobol.shuffled(base_ctx, st.bounce.astype(jnp.uint32) + 1)
+        hit = intersect_fn(st.origin, st.direction)
+        alive = st.alive & (hit.surf_id >= 0)   # miss: no sky term in photon mapping
+
+        ix = common.interaction_setup(
+            tables, meta, st.origin, st.direction, hit,
+            st.iors, st.ior_count, st.refraction_level, st.medium_ior,
+        )
+        radiance = st.radiance + st.throughput * common.sample_emissive(
+            ix, st.direction, st.bounce, st.ray_dirac, st.prev_light,
+            st.prev_bsdf_pdf, st.prev_select_prob, hit.surf_id, alive,
+        )
+
+        # Event selection decides interaction.dirac_delta (interaction.cpp:53).
+        b = common.bsdf_bounce(ix, st.direction, ctx, eps, flux=False)
+        ix_dirac = b.dirac_next
+        from_cam_or_spec = st.ray_dirac | (st.bounce == 0)
+
+        # Caustic estimate at every non-dirac interaction (:315)
+        caustic = _estimate(maps.caustic, caustic_arrays, ix, k, cone=True)
+        radiance = radiance + jnp.where(
+            (alive & ~ix_dirac)[:, None], st.throughput * caustic, 0.0
+        )
+
+        cont_spec = alive & ix_dirac & from_cam_or_spec
+        cont_diff = alive & ~ix_dirac & from_cam_or_spec & (not cfg.direct_visualization)
+        terminate_global = alive & ~ix_dirac & ~cont_diff
+
+        # NEE only on the delayed-global continuation (:319-326)
+        if meta.has_lights:
+            nee, prev_light, prev_select_prob, _ = common.sample_direct(
+                tables, ix, ctx, intersect_fn, eps, cont_diff
+            )
+            radiance = radiance + jnp.where(cont_diff[:, None], st.throughput * nee, 0.0)
+            prev_light = jnp.where(cont_diff, prev_light, -1)
+        else:
+            prev_light = jnp.full((R,), -1, jnp.int32)
+            prev_select_prob = jnp.ones((R,), dtype)
+
+        # Global estimate terminates the path (:330)
+        glob = _estimate(maps.global_, global_arrays, ix, k, cone=False)
+        radiance = radiance + jnp.where(
+            terminate_global[:, None], st.throughput * glob, 0.0
+        )
+
+        cont = (cont_spec | cont_diff) & b.valid
+        throughput = jnp.where(cont[:, None], st.throughput * b.weight, st.throughput)
+        diffuse_depth = st.diffuse_depth + (cont & b.is_diffuse).astype(jnp.int32)
+        new_refr_scale = st.refraction_scale * jnp.where(cont, b.refr_scale_mult, 1.0)
+
+        # absorb() Russian roulette (integrator.cpp:112-129)
+        u_abs = sobol.sample(ctx, 6)
+        survive = jnp.max(throughput, axis=-1) * new_refr_scale
+        new_depth = st.bounce + 1
+        apply_rr = (diffuse_depth > cfg.min_ray_depth) | (new_depth > cfg.min_priority_ray_depth)
+        survive_c = jnp.minimum(jnp.asarray(0.95, dtype), survive)
+        rr_kill = apply_rr & (survive_c <= u_abs)
+        throughput = jnp.where(
+            (cont & apply_rr & ~rr_kill)[:, None],
+            throughput / bsdf._safe(survive_c)[:, None], throughput,
+        )
+        alive_next = cont & (survive > 0.0) & ~rr_kill
+
+        iors, ior_count, new_level = common.update_ior_stack(
+            st.iors, st.ior_count, st.refraction_level, b.level_delta, b.new_medium, K
+        )
+        return _EyeState(
+            bounce=st.bounce + 1,
+            origin=b.new_origin,
+            direction=b.new_dir,
+            medium_ior=b.new_medium,
+            refraction_scale=new_refr_scale,
+            ray_dirac=b.dirac_next,
+            diffuse_depth=diffuse_depth,
+            refraction_level=new_level,
+            iors=iors,
+            ior_count=ior_count,
+            throughput=throughput,
+            radiance=radiance,
+            alive=alive_next,
+            prev_light=prev_light,
+            prev_bsdf_pdf=b.pdf,
+            prev_select_prob=prev_select_prob,
+        )
+
+    f0 = origin[:, 0] * 0.0
+    i0 = (pixel_index * 0).astype(jnp.int32)
+    b_false = i0 != 0
+    init = _EyeState(
+        bounce=jnp.asarray(0, jnp.int32),
+        origin=origin,
+        direction=direction,
+        medium_ior=f0 + tables.ior.astype(dtype),
+        refraction_scale=f0 + 1.0,
+        ray_dirac=b_false,
+        diffuse_depth=i0,
+        refraction_level=i0,
+        iors=(f0 + tables.ior.astype(dtype))[:, None] * jnp.ones((1, cfg.ior_stack_size), dtype),
+        ior_count=i0 + 1,
+        throughput=origin * 0.0 + 1.0,
+        radiance=origin * 0.0,
+        alive=i0 == 0,
+        prev_light=i0 - 1,
+        prev_bsdf_pdf=f0,
+        prev_select_prob=f0 + 1.0,
+    )
+
+    def cond(st: _EyeState):
+        return jnp.any(st.alive) & (st.bounce < cfg.max_eye_bounces)
+
+    final = jax.lax.while_loop(cond, step, init)
+    return final.radiance

@@ -32,6 +32,28 @@ class RenderConfig:
     integrator: str = "path_tracer"   # or "photon_mapper"
 
 
+def _chunk_render_pm_fn(meta, pmcfg, cam: CameraDef, film_cfg, maps, dtype):
+    """Photon-mapping analogue of _chunk_render_fn: pass-2 eye trace per chunk."""
+    from .integrator import photon_mapper as pm
+    from .ops import cluster_bvh
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(tables, cbvh, caustic_arrays, global_arrays, px, py, si, film_acc):
+        if cbvh is not None:
+            intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, cbvh)
+        else:
+            intersect_fn = None
+        rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, pmcfg.global_seed, dtype)
+        radiance = pm.trace(
+            tables, meta, pmcfg, maps, caustic_arrays, global_arrays,
+            rays.origin, rays.direction, rays.pixel_index, rays.sample_index,
+            intersect_fn=intersect_fn,
+        )
+        return film_acc + film_mod.splat(film_cfg, rays.px, radiance)
+
+    return run
+
+
 def _chunk_render_fn(meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype):
     """Builds the jitted (tables, cbvh, pixel_x, pixel_y, sample_index, film) -> film
     step. Scene tables and the BVH are ARGUMENTS (pytrees), never closures — closing
@@ -80,8 +102,24 @@ def render(
     film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
 
     cbvh = build_device_bvh(scene, tables, cfg.dtype)
-    run0 = _chunk_render_fn(meta, ptcfg, cam, film_cfg, dtype)
-    run = lambda px, py, si, film_acc: run0(tables, cbvh, px, py, si, film_acc)
+    if cfg.integrator == "photon_mapper":
+        from .integrator import photon_mapper as pm
+        from .ops import cluster_bvh as cb
+
+        pmcfg = pm.PMConfig.from_json(
+            scene.photon_map_config,
+            max_eye_bounces=cfg.max_bounces,
+            global_seed=cfg.global_seed,
+        )
+        isect_fn = cb.make_intersect_fn(tables, meta, cbvh) if cbvh is not None else None
+        maps = pm.build_photon_maps(tables, meta, pmcfg, scene, isect_fn, verbose=verbose)
+        run0 = _chunk_render_pm_fn(meta, pmcfg, cam, film_cfg, maps, dtype)
+        run = lambda px, py, si, film_acc: run0(
+            tables, cbvh, maps.caustic.arrays, maps.global_.arrays, px, py, si, film_acc
+        )
+    else:
+        run0 = _chunk_render_fn(meta, ptcfg, cam, film_cfg, dtype)
+        run = lambda px, py, si, film_acc: run0(tables, cbvh, px, py, si, film_acc)
 
     # Build the (pixel, sample) megabatch lazily in chunks.
     n_pix = cam.width * cam.height

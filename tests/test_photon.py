@@ -1,0 +1,90 @@
+"""Photon mapping tests: grid k-NN parity with brute force + estimator
+cross-validation against the path tracer (the reference's de-facto integration
+test: two independent estimators of the same integral must agree;
+SURVEY.md section 4)."""
+import json
+import pathlib
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mcrt_tpu.accel import photon_grid as pgrid
+
+REF_SCENES = pathlib.Path("/root/reference/scenes")
+
+
+def test_knn_matches_brute_force():
+    rng = np.random.RandomState(0)
+    # photons on a 2D-ish manifold (surface-like), as in real photon maps
+    n = 20_000
+    pos = rng.rand(n, 3) * np.array([10.0, 10.0, 0.3])
+    d = rng.randn(n, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    flux = rng.rand(n, 3)
+
+    k = 32
+    grid = pgrid.build_photon_grid(pos, d, flux, k, np.float64)
+
+    q = rng.rand(256, 3) * np.array([10.0, 10.0, 0.3])
+    d2, idx, valid = pgrid.knn(grid, grid.arrays, jnp.asarray(q), k)
+    d2 = np.asarray(d2)
+    valid = np.asarray(valid)
+    assert valid.all()
+
+    # brute force distances
+    gp = np.asarray(grid.arrays.pos)
+    for i in range(0, 256, 17):
+        dist2 = np.sum((gp - q[i]) ** 2, axis=-1)
+        ref = np.sort(dist2)[:k]
+        got = np.sort(d2[i])
+        np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_knn_sparse_returns_fewer():
+    rng = np.random.RandomState(1)
+    pos = rng.rand(5, 3)
+    grid = pgrid.build_photon_grid(pos, pos, pos, 50, np.float64)
+    d2, idx, valid = pgrid.knn(grid, grid.arrays, jnp.asarray(rng.rand(4, 3)), 50)
+    assert np.asarray(valid).sum(axis=1).max() <= 5
+
+
+def test_empty_grid():
+    grid = pgrid.build_photon_grid(
+        np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)), 10
+    )
+    assert grid.empty
+
+
+@pytest.mark.slow
+def test_photon_map_cross_validates_path_tracer():
+    """Photon-mapped and path-traced renders of the same diffuse scene agree.
+
+    Mirrors the reference's only correctness strategy: two independent estimators
+    (option.cpp:96-109). Tolerances account for photon-map bias + MC noise."""
+    from mcrt_tpu import Scene, RenderConfig, render
+
+    ref = REF_SCENES / "hexagon_room_diffuse.json"
+    j = json.loads(ref.read_text())
+    j["cameras"][0]["image"] = {"width": 48, "height": 48, "plain": True}
+    j["cameras"][0]["sqrtspp"] = 6
+    j["photon_map"]["emissions"] = 3e5
+    j["photon_map"]["caustic_factor"] = 1.0
+
+    scene = Scene(j, scene_dir=REF_SCENES)
+    img_pm = render(scene, 0, RenderConfig(
+        dtype="float32", rays_per_chunk=1 << 13, integrator="photon_mapper"))
+    img_pt = render(scene, 0, RenderConfig(
+        dtype="float32", rays_per_chunk=1 << 13))
+
+    assert np.isfinite(img_pm).all()
+    assert (img_pm >= 0).all()
+    # Mean image brightness within 10%, smoothed per-region agreement
+    m_pm, m_pt = img_pm.mean(), img_pt.mean()
+    assert abs(m_pm - m_pt) / m_pt < 0.10, (m_pm, m_pt)
+    # 6x6 block means agree within 25% where lit
+    blocks_pm = img_pm.reshape(8, 6, 8, 6, 3).mean(axis=(1, 3, 4))
+    blocks_pt = img_pt.reshape(8, 6, 8, 6, 3).mean(axis=(1, 3, 4))
+    lit = blocks_pt > 0.1 * m_pt
+    rel = np.abs(blocks_pm - blocks_pt)[lit] / blocks_pt[lit]
+    assert np.percentile(rel, 90) < 0.25, np.percentile(rel, 90)
