@@ -47,13 +47,13 @@ def bench_ours():
     cfg = pt.PTConfig()
     film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
     from mcrt_tpu.render import build_device_bvh
-    from mcrt_tpu.ops import bvh_traverse
-    dbvh, max_leaf = build_device_bvh(scene, tables, "float32")
+    from mcrt_tpu.ops import cluster_bvh
+    dbvh = build_device_bvh(scene, tables, "float32")
 
     @jax.jit
     def run_impl(tables, dbvh, px, py, si, film_acc):
         intersect_fn = (
-            bvh_traverse.make_intersect_fn(tables, meta, dbvh, max_leaf)
+            cluster_bvh.make_intersect_fn(tables, meta, dbvh)
             if dbvh is not None else None
         )
         rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)

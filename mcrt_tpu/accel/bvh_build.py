@@ -209,6 +209,15 @@ def build_bvh(
     strict_leaf=True forces splits until every leaf has <= max_leaf primitives
     (needed for fixed-size cluster leaves); otherwise SAH may stop early up to 255
     per leaf like the reference."""
+    from ..native import build_bvh_native
+
+    native = build_bvh_native(
+        tri_min, tri_max, kind=kind, bins=bins, max_leaf=max_leaf,
+        dtype=dtype, strict_leaf=strict_leaf,
+    )
+    if native is not None:
+        return native
+
     P = len(tri_min)
     ids = np.arange(P, dtype=np.int64)
     centers = (tri_min + tri_max) * 0.5

@@ -84,13 +84,29 @@ def build_device_bvh(scene: Scene, tables, dtype):
     return scene.build_cluster_bvh(np.dtype(dtype))
 
 
+def _ckpt_key(cfg: RenderConfig, cam, spp: int) -> str:
+    """Fingerprint of everything that must match for a checkpoint to be resumable."""
+    return (
+        f"{cam.width}x{cam.height}_spp{spp}_b{cfg.max_bounces}_s{cfg.global_seed}"
+        f"_c{cfg.rays_per_chunk}_{cfg.integrator}_{cfg.dtype}"
+    )
+
+
 def render(
     scene: Scene,
     camera_idx: int = 0,
     cfg: RenderConfig = RenderConfig(),
     verbose: bool = False,
+    checkpoint_dir=None,
+    checkpoint_every_s: float = 30.0,
 ):
-    """Render one camera of a scene. Returns linear HDR image (H, W, 3) numpy."""
+    """Render one camera of a scene. Returns linear HDR image (H, W, 3) numpy.
+
+    checkpoint_dir: if set, the film accumulator + progress counter are persisted
+    there periodically (preemption-safe; the reference has no equivalent — a killed
+    render loses everything, camera.cpp:170-181). A matching checkpoint is resumed
+    automatically; a mismatched one (different resolution/spp/seed/...) is ignored.
+    """
     dtype = jnp.dtype(cfg.dtype).type
     cam = scene.cameras[camera_idx]
     sqrtspp = cfg.sqrtspp if cfg.sqrtspp is not None else cam.sqrtspp
@@ -131,6 +147,36 @@ def render(
     ys_all = np.arange(n_pix, dtype=np.uint32) // cam.width
 
     done = 0
+    ckpt_path = None
+    if checkpoint_dir is not None:
+        import pathlib
+
+        ckpt_dir = pathlib.Path(checkpoint_dir)
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        ckpt_path = ckpt_dir / f"film_{cam.savename}_{camera_idx}.npz"
+        if ckpt_path.exists():
+            try:
+                z = np.load(ckpt_path)
+                if str(z["key"]) == _ckpt_key(cfg, cam, spp) and int(z["done"]) <= total:
+                    film_acc = jnp.asarray(z["film"], dtype)
+                    done = int(z["done"])
+                    if verbose:
+                        print(f"Resumed checkpoint at {done}/{total} rays")
+            except Exception:
+                pass  # corrupt/foreign checkpoint: start fresh
+
+    import time as _time
+
+    last_ckpt = _time.monotonic()
+
+    def save_ckpt():
+        if ckpt_path is None:
+            return
+        tmp = ckpt_path.with_suffix(".tmp.npz")
+        np.savez(tmp, film=np.asarray(jax.device_get(film_acc)), done=done,
+                 key=_ckpt_key(cfg, cam, spp))
+        tmp.replace(ckpt_path)  # atomic on POSIX
+
     while done < total:
         n = min(chunk, total - done)
         idx = (np.arange(done, done + n)) // spp
@@ -140,10 +186,14 @@ def render(
         # A short tail chunk triggers one extra compile; fine for the last dispatch.
         film_acc = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film_acc)
         done += n
+        if ckpt_path is not None and _time.monotonic() - last_ckpt > checkpoint_every_s:
+            save_ckpt()
+            last_ckpt = _time.monotonic()
         if verbose:
             print(f"\r{done}/{total} rays", end="", flush=True)
     if verbose:
         print()
+    save_ckpt()
 
     img = film_mod.scan(film_acc)
     return np.asarray(jax.device_get(img), dtype=np.float64)

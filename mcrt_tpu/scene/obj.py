@@ -21,6 +21,16 @@ def parse_obj(path):
     if not os.path.exists(path):
         print(f"{path} not found.", file=sys.stderr)
         return (np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3), np.int64), None)
+
+    from ..native import parse_obj_native
+
+    native = parse_obj_native(path)
+    if native is not None:
+        v, n, tv, tn = native
+        if len(tv) and (tv.min() < 0 or (tn is not None and len(tn) and tn.min() < 0)):
+            raise ValueError("OBJ files with negative offsets are not supported.")
+        return v, n, tv, tn
+
     vertices, normals = [], []
     tris_v, tris_vn = [], []
     with open(path, "r", errors="replace") as f:
