@@ -69,7 +69,9 @@ def bench_ours():
     spp = SQRTSPP * SQRTSPP
     n_pix = SIZE * SIZE
     total = n_pix * spp
-    chunk = 1 << 19
+    # 2^19-ray chunks exhaust HBM inside the traversal loop on v5e (the cluster
+    # intersector materializes (R, 4S) temporaries); 2^18 is the safe sweet spot.
+    chunk = 1 << 18
     import numpy as np
 
     film = jnp.zeros((SIZE, SIZE, 4), dtype)

@@ -30,6 +30,7 @@ class RenderConfig:
     rays_per_chunk: int = 1 << 17     # rays per device dispatch
     sqrtspp: int | None = None        # override scene camera spp
     integrator: str = "path_tracer"   # or "photon_mapper"
+    profile_dir: str | None = None    # write a jax.profiler trace of the render loop
 
 
 def _chunk_render_pm_fn(meta, pmcfg, cam: CameraDef, film_cfg, maps, dtype):
@@ -177,20 +178,45 @@ def render(
                  key=_ckpt_key(cfg, cam, spp))
         tmp.replace(ckpt_path)  # atomic on POSIX
 
-    while done < total:
-        n = min(chunk, total - done)
-        idx = (np.arange(done, done + n)) // spp
-        si = (np.arange(done, done + n) % spp).astype(np.uint32)
-        px = xs_all[idx]
-        py = ys_all[idx]
-        # A short tail chunk triggers one extra compile; fine for the last dispatch.
-        film_acc = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film_acc)
-        done += n
-        if ckpt_path is not None and _time.monotonic() - last_ckpt > checkpoint_every_s:
-            save_ckpt()
-            last_ckpt = _time.monotonic()
-        if verbose:
-            print(f"\r{done}/{total} rays", end="", flush=True)
+    # Live throughput telemetry (reference progress thread, camera.cpp:183-226):
+    # moving average of camera-rays/s -> ETA, printed per chunk.
+    profile_ctx = None
+    if cfg.profile_dir is not None:
+        profile_ctx = jax.profiler.trace(cfg.profile_dir)
+        profile_ctx.__enter__()
+    t_start = _time.monotonic()
+    recent: list[tuple[float, int]] = [(t_start, 0)]  # (time, rays done)
+    try:
+        while done < total:
+            n = min(chunk, total - done)
+            idx = (np.arange(done, done + n)) // spp
+            si = (np.arange(done, done + n) % spp).astype(np.uint32)
+            px = xs_all[idx]
+            py = ys_all[idx]
+            # A short tail chunk triggers one extra compile; fine for the last dispatch.
+            film_acc = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film_acc)
+            done += n
+            if ckpt_path is not None and _time.monotonic() - last_ckpt > checkpoint_every_s:
+                save_ckpt()
+                last_ckpt = _time.monotonic()
+            if verbose:
+                film_acc.block_until_ready()
+                now = _time.monotonic()
+                recent.append((now, done))
+                if len(recent) > 32:
+                    recent.pop(0)
+                dt = now - recent[0][0]
+                rate = (done - recent[0][1]) / dt if dt > 0 else 0.0
+                eta = (total - done) / rate if rate > 0 else float("inf")
+                print(
+                    f"\r{done}/{total} camera rays | {rate / 1e6:.2f} M rays/s | "
+                    f"ETA {eta:.0f}s   ",
+                    end="", flush=True,
+                )
+    finally:
+        if profile_ctx is not None:
+            film_acc.block_until_ready()
+            profile_ctx.__exit__(None, None, None)
     if verbose:
         print()
     save_ckpt()
