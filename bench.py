@@ -84,9 +84,9 @@ def bench_ours():
     f.block_until_ready()
 
     t0 = time.time()
-    total_rays = 0
     done = 0
     film = jnp.zeros((SIZE, SIZE, 4), dtype)
+    ray_counts = []
     while done + chunk <= total:
         lin = np.arange(done, done + chunk)
         idx = lin // spp
@@ -94,10 +94,13 @@ def bench_ours():
         py = (idx // SIZE).astype(np.uint32)
         si = (lin % spp).astype(np.uint32)
         film, rc = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
-        total_rays += int(rc)
+        # keep rc on device — int() here would force a sync per dispatch and
+        # serialize the pipeline being timed (round-1 verdict, weak #9)
+        ray_counts.append(rc)
         done += chunk
     film.block_until_ready()
     dt = time.time() - t0
+    total_rays = int(sum(int(r) for r in ray_counts))
     paths = done
     return {
         "paths": paths,

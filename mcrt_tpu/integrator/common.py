@@ -145,6 +145,14 @@ def sample_direct(
     shadow_o = jnp.where(retry[:, None], ix.position - ix.normal * eps, shadow_o)
     sdir = g.normalize(light_pos - shadow_o)
 
+    # Park shadow rays that cannot contribute (dead lanes, dirac materials) far
+    # outside the scene so traversal blocks skip them (see path_tracer.PARK_DISTANCE).
+    need = alive & ~ix.mat.dirac_delta
+    park_o = jnp.asarray([2e30, 2e30, 2e30], dtype)
+    park_d = jnp.asarray([0.57735026, 0.57735026, 0.57735026], dtype)
+    shadow_o = jnp.where(need[:, None], shadow_o, park_o)
+    sdir = jnp.where(need[:, None], sdir, park_d)
+
     sh = intersect_fn(shadow_o, sdir)
     shadow_rays = jnp.sum((alive & ~ix.mat.dirac_delta).astype(jnp.int32))
     vis = (sh.surf_id == lsurf) & (sh.surf_id >= 0)

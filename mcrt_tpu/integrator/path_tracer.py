@@ -34,6 +34,7 @@ class PTConfig:
     ior_stack_size: int = 8
     sky: bool = True                  # add sky gradient on miss (photon pass 2: False)
     global_seed: int = 0
+    sort_rays: bool = True            # re-sort lanes by coherence key every bounce
 
 
 def ray_offset_eps(dtype) -> float:
@@ -51,9 +52,67 @@ def sky_color(direction):
     return orange * (1.0 - fy[..., None]) + blue * fy[..., None]
 
 
+# Parked-ray constants: dead lanes are rewritten to a ray far outside any scene,
+# pointing away, so the block-synchronous traversal never descends for them (a
+# block of all-dead lanes skips the whole tree in one step). See traverse() in
+# ops/cluster_bvh.py.
+PARK_DISTANCE = 2e30
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of x so there are 2 zero bits between each."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def coherence_key(origin, direction, bb_lo, bb_hi):
+    """Sort key grouping rays that start near each other and point the same way.
+
+    Layout (high→low): 3-bit direction octant | 27-bit Morton code of the origin
+    quantized to the scene bounds. This is the TPU analogue of the reference's
+    work-queue keeping threads busy on nearby buckets (work-queue.hpp:13-61): the
+    block-synchronous traversal is only efficient when the 256 rays of a block
+    share a frustum, which sorted secondary bounces restore.
+    """
+    octant = (
+        (direction[:, 0] < 0).astype(jnp.uint32)
+        + 2 * (direction[:, 1] < 0).astype(jnp.uint32)
+        + 4 * (direction[:, 2] < 0).astype(jnp.uint32)
+    )
+    q = jnp.clip((origin - bb_lo) / jnp.maximum(bb_hi - bb_lo, 1e-30), 0.0, 1.0)
+    cell = (q * 1023.0).astype(jnp.uint32)
+    morton = (
+        _part1by2(cell[:, 0])
+        | (_part1by2(cell[:, 1]) << 1)
+        | (_part1by2(cell[:, 2]) << 2)
+    )
+    return ((octant << 27) | (morton >> 3)).astype(jnp.int32)
+
+
+def scene_bounds(tables: SceneTables, meta: SceneMeta):
+    """Conservative scene AABB from the device tables (for ray sort keys)."""
+    pts = [tables.tri_v0, tables.tri_v0 + tables.tri_e1, tables.tri_v0 + tables.tri_e2]
+    los = [jnp.min(p, axis=0) for p in pts]
+    his = [jnp.max(p, axis=0) for p in pts]
+    if meta.n_sphs:
+        los.append(jnp.min(tables.sph_origin - tables.sph_radius[:, None], axis=0))
+        his.append(jnp.max(tables.sph_origin + tables.sph_radius[:, None], axis=0))
+    if meta.n_quads:
+        los.append(jnp.min(tables.quad_bb_min, axis=0))
+        his.append(jnp.max(tables.quad_bb_max, axis=0))
+    return jnp.min(jnp.stack(los), axis=0), jnp.max(jnp.stack(his), axis=0)
+
+
 class PathState(NamedTuple):
     bounce: jnp.ndarray            # scalar int32
     ray_count: jnp.ndarray         # scalar int32: total rays traced (primary+shadow)
+    slot: jnp.ndarray              # (R,) int32 original lane index (for unsorting)
+    pixel_index: jnp.ndarray       # (R,) uint32 (travels with the lane through sorts)
+    sample_index: jnp.ndarray      # (R,) uint32
     origin: jnp.ndarray            # (R,3)
     direction: jnp.ndarray         # (R,3)
     medium_ior: jnp.ndarray        # (R,)
@@ -111,16 +170,16 @@ def make_bounce_step(
     meta: SceneMeta,
     cfg: PTConfig,
     intersect_fn: Callable,
-    pixel_index,
-    sample_index,
 ):
     """Builds the single-bounce transition function over PathState."""
     dtype = tables.tri_v0.dtype
     eps = jnp.asarray(ray_offset_eps(dtype), dtype)
-    base_ctx = sobol.make_ctx(cfg.global_seed, pixel_index, sample_index, dtype)
     K = cfg.ior_stack_size
+    if cfg.sort_rays:
+        bb_lo, bb_hi = scene_bounds(tables, meta)
 
     def step(st: PathState) -> PathState:
+        base_ctx = sobol.make_ctx(cfg.global_seed, st.pixel_index, st.sample_index, dtype)
         ctx = sobol.shuffled(base_ctx, st.bounce.astype(jnp.uint32) + 1)
         R = st.origin.shape[0]
 
@@ -180,11 +239,21 @@ def make_bounce_step(
             st.iors, st.ior_count, st.refraction_level, b.level_delta, b.new_medium, K
         )
 
-        return PathState(
+        # ---- park dead lanes: send them far outside every scene so traversal
+        # blocks full of dead rays exit in one step instead of walking the tree ----
+        park_o = jnp.asarray([PARK_DISTANCE] * 3, dtype)
+        park_d = jnp.asarray([0.57735026, 0.57735026, 0.57735026], dtype)
+        new_origin = jnp.where(alive[:, None], b.new_origin, park_o)
+        new_dir = jnp.where(alive[:, None], b.new_dir, park_d)
+
+        nxt = PathState(
             bounce=st.bounce + 1,
             ray_count=ray_count,
-            origin=b.new_origin,
-            direction=b.new_dir,
+            slot=st.slot,
+            pixel_index=st.pixel_index,
+            sample_index=st.sample_index,
+            origin=new_origin,
+            direction=new_dir,
             medium_ior=b.new_medium,
             refraction_scale=new_refr_scale,
             ray_dirac=b.dirac_next,
@@ -200,6 +269,19 @@ def make_bounce_step(
             prev_bsdf_pdf=b.pdf,
             prev_select_prob=prev_select_prob,
         )
+
+        if cfg.sort_rays:
+            # ---- coherence sort: alive lanes grouped by (octant, origin Morton),
+            # dead lanes pushed to the tail so whole blocks die together ----
+            key = coherence_key(new_origin, new_dir, bb_lo, bb_hi)
+            key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
+            perm = jnp.argsort(key)
+
+            def permute(x):
+                return x[perm] if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[:1] == (R,)) else x
+
+            nxt = jax.tree_util.tree_map(permute, nxt)
+        return nxt
 
     return step
 
@@ -230,7 +312,7 @@ def trace(
     if intersect_fn is None:
         intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
 
-    step = make_bounce_step(tables, meta, cfg, intersect_fn, pixel_index, sample_index)
+    step = make_bounce_step(tables, meta, cfg, intersect_fn)
 
     # Derive every init value from the (per-ray) inputs so that under shard_map the
     # whole carry has consistent device-varying types (see jax shard_map scan-vma).
@@ -240,6 +322,9 @@ def trace(
     init = PathState(
         bounce=jnp.asarray(0, jnp.int32),
         ray_count=jnp.sum(i0),
+        slot=i0 + jnp.arange(R, dtype=jnp.int32),
+        pixel_index=pixel_index,
+        sample_index=sample_index,
         origin=origin,
         direction=direction,
         medium_ior=f0 + tables.ior.astype(dtype),
@@ -274,6 +359,11 @@ def trace(
             return jnp.any(st.alive) & (st.bounce < cfg.max_bounces)
 
         final = jax.lax.while_loop(cond, step, init)
+    radiance = final.radiance
+    if cfg.sort_rays:
+        # Undo the per-bounce coherence sorts: lane i of the output must be the
+        # radiance of input ray i (film splatting indexes by the original order).
+        radiance = jnp.zeros_like(radiance).at[final.slot].set(radiance)
     if return_stats:
-        return final.radiance, {"rays": final.ray_count}
-    return final.radiance
+        return radiance, {"rays": final.ray_count}
+    return radiance
