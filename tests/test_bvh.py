@@ -103,8 +103,10 @@ def test_render_with_bvh_matches_without(tmp_path):
     np.testing.assert_allclose(img_bvh, img_brute, rtol=1e-4, atol=1e-4)
 
 
-def test_cluster_bvh_matches_brute_force():
+@pytest.mark.parametrize("method", ["walk", "sweep"])
+def test_cluster_bvh_matches_brute_force(method):
     """MXU-dense cluster intersection parity with brute-force Moller-Trumbore."""
+    import jax
     import jax.numpy as jnp
     from mcrt_tpu.accel.bvh_build import build_bvh
     from mcrt_tpu.ops import cluster_bvh
@@ -127,7 +129,12 @@ def test_cluster_bvh_matches_brute_force():
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     direction = jnp.asarray(d)
 
-    bt, bid, bu, bv = cluster_bvh.traverse(cbvh, origin, direction, block=64)
+    if method == "sweep":
+        bt, bid, bu, bv = cluster_bvh.traverse_sweep(
+            cbvh, origin, direction, block=64, precision=jax.lax.Precision.HIGHEST
+        )
+    else:
+        bt, bid, bu, bv = cluster_bvh.traverse(cbvh, origin, direction, block=64)
 
     tt, u, v, valid = isect.intersect_tris_block(
         origin, direction, jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), jnp.asarray(1e-9)

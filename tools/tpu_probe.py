@@ -1,0 +1,110 @@
+"""TPU probe: time one path-tracing chunk for each traversal method / chunk size.
+
+Usage: python tools/tpu_probe.py [--method walk|sweep] [log2_chunk ...]
+
+Pixels are strided across the whole image so every chunk sees a representative
+mix of geometry and sky (a contiguous prefix would only cover the top rows).
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SCENE = pathlib.Path("/root/reference/scenes/spaceship.json")
+SIZE = 512
+SQRTSPP = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mcrt_tpu.scene.loader import Scene
+    from mcrt_tpu.integrator import path_tracer as pt
+    from mcrt_tpu.camera import camera as cam_mod
+    from mcrt_tpu.camera import film as film_mod
+    from mcrt_tpu.render import build_device_bvh
+    from mcrt_tpu.ops import cluster_bvh
+
+    args = sys.argv[1:]
+    methods = ["sweep"]
+    if "--method" in args:
+        i = args.index("--method")
+        methods = [args[i + 1]]
+        args = args[:i] + args[i + 2:]
+    if "--both" in args:
+        args.remove("--both")
+        methods = ["walk", "sweep"]
+    sizes = [int(a) for a in args] or [16, 17]
+
+    print("devices:", jax.devices(), flush=True)
+
+    j = json.loads(SCENE.read_text())
+    j["cameras"][0]["image"] = {"width": SIZE, "height": SIZE, "plain": True}
+    j["cameras"][0]["sqrtspp"] = SQRTSPP
+    scene = Scene(j, scene_dir=SCENE.parent)
+    dtype = jnp.float32
+    tables = scene.tables(dtype)
+    meta = scene.meta()
+    cam = scene.cameras[0]
+    cfg = pt.PTConfig()
+    film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
+    dbvh = build_device_bvh(scene, tables, "float32")
+    print(
+        "bvh: nodes=%d clusters=%d S=%d" % (
+            dbvh.skip.shape[0], dbvh.tri_id.shape[0], dbvh.tri_id.shape[1]
+        ),
+        flush=True,
+    )
+
+    spp = SQRTSPP * SQRTSPP
+    n_pix = SIZE * SIZE
+
+    def make_run(method):
+        @jax.jit
+        def run_impl(tables, dbvh, px, py, si, film_acc):
+            intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, dbvh, method=method)
+            rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
+            radiance, stats = pt.trace(
+                tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
+                rays.sample_index, return_stats=True, intersect_fn=intersect_fn,
+            )
+            return film_acc + film_mod.splat(film_cfg, rays.px, radiance), stats["rays"]
+        return run_impl
+
+    for method in methods:
+        run_impl = make_run(method)
+        for lg in sizes:
+            chunk = 1 << lg
+            film = jnp.zeros((SIZE, SIZE, 4), dtype)
+            # golden-ratio stride scatters samples over the full image
+            lin = (np.arange(chunk, dtype=np.int64) * 2654435761) % (n_pix * spp)
+            idx = lin // spp
+            px = (idx % SIZE).astype(np.uint32)
+            py = ((idx // SIZE) % SIZE).astype(np.uint32)
+            si = (lin % spp).astype(np.uint32)
+            t0 = time.time()
+            f, rc = run_impl(tables, dbvh, jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
+            f.block_until_ready()
+            compile_s = time.time() - t0
+            reps = 3
+            t0 = time.time()
+            for _ in range(reps):
+                f, rc = run_impl(tables, dbvh, jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
+            f.block_until_ready()
+            dt = (time.time() - t0) / reps
+            rays = int(rc)
+            print(
+                f"{method} chunk=2^{lg} compile={compile_s:.1f}s time={dt*1e3:.1f}ms "
+                f"rays={rays} rays/path={rays/chunk:.2f} rays/s={rays/dt/1e6:.2f}M",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
