@@ -348,7 +348,7 @@ def trace(
         def _pvary(x):
             have = getattr(jax.typeof(x), "vma", frozenset())
             need = tuple(a for a in vary_axes if a not in have)
-            return jax.lax.pvary(x, need) if need else x
+            return jax.lax.pcast(x, need, to="varying") if need else x
 
         init = jax.tree_util.tree_map(_pvary, init)
 

@@ -583,10 +583,15 @@ class Scene:
             from ..accel.bvh_build import build_bvh
             from ..ops.cluster_bvh import upload_cluster_bvh
 
+            # Honor the scene's builder choice (reference bvh.cpp:24-56): the JSON
+            # `bvh.type` selects the cluster-formation algorithm — the device-side
+            # structure is always fat leaves + skip links, but leaf quality (and so
+            # traversal cost) follows the reference's builder-quality tradeoff.
+            kind = str(self.bvh_config.get("type", "binary_sah"))
             bins = int(self.bvh_config.get("bins_per_axis", 16))
             mins, maxs = self.tri_bounds()
             flat = build_bvh(
-                mins, maxs, kind="binary_sah", bins=bins,
+                mins, maxs, kind=kind, bins=bins,
                 max_leaf=cluster_size, dtype=dtype, strict_leaf=True,
             )
             cache[key] = upload_cluster_bvh(flat, self, dtype)
