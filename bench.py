@@ -14,10 +14,18 @@ Run with the default env (TPU via axon). Requires no other TPU-holding process.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import subprocess
 import sys
 import time
+
+# Persistent XLA compile cache: the axon compile RPC is intermittently very slow
+# (85-120 s for even trivial programs, measured round 3); caching the serialized
+# executable makes every bench run after the first immune to that.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 REPO = pathlib.Path(__file__).resolve().parent
 SCENE_NAME = "spaceship"  # headline benchmark scene (BASELINE.json)
@@ -69,9 +77,15 @@ def bench_ours():
     spp = SQRTSPP * SQRTSPP
     n_pix = SIZE * SIZE
     total = n_pix * spp
-    # 2^19-ray chunks exhaust HBM inside the traversal loop on v5e (the cluster
-    # intersector materializes (R, 4S) temporaries); 2^18 is the safe sweet spot.
-    chunk = 1 << 18
+    # Fault boundary on v5e, bisected with tools/tpu_probe.py + tools/fault_probe.py
+    # (round 3): walk@2^16 = 267 M rays/s OK, walk@2^17 = 420 M rays/s OK,
+    # walk@2^18 = TPU kernel fault on the FIRST dispatch. Attribution: traversal
+    # alone at 2^18 is fine, the argsort+permute alone at 2^18 is fine, and the
+    # full bounce step with cfg.sort_rays=False at 2^18 is fine — only the fused
+    # combination (per-bounce coherence sort of the whole PathState inside the
+    # bounce while_loop + cluster traversal temporaries) faults at R=2^18.
+    # 2^17 is the validated envelope; render.py enforces the same bound.
+    chunk = 1 << 17
     import numpy as np
 
     film = jnp.zeros((SIZE, SIZE, 4), dtype)

@@ -8,13 +8,16 @@ gathers up to M photons from each of the 27 cells around the query point, then
 takes the k nearest with one `lax.top_k`. Dense fixed-shape gathers + one sort-free
 top-k — no per-lane trees, no data-dependent loops.
 
-Correctness condition (documented, enforced by construction): the cell size is
-chosen so that the k-th-nearest distance is < cell_size for typical local photon
-densities, making the one-ring (27-cell) neighborhood exact. The builder targets a
-median occupancy of ~2k photons per non-empty cell (photons live on 2D surfaces, so
-occupancy scales with cell_size^2), giving r_k ~= 0.4 * cell_size in expectation.
-Sparse regions can fall back to fewer-than-k results, matching the reference's
-behavior of shrinking the radius to the furthest found photon.
+Exactness (matches the reference's best-first search, which is exact at any
+density): the one-ring gather alone is exact only when (a) no gathered cell holds
+more than the per-cell read cap M and (b) the found k-th distance is < cell_size
+(so the 27-cell block provably contains every photon within r_k). Both conditions
+are CHECKED per query; queries failing either run an exact brute-force top-k over
+the whole photon array (chunked `lax.scan`, gated by `lax.cond` so renders with no
+flagged queries never pay for it). Caustic maps are the adversarial case: cell
+occupancy varies by orders of magnitude, so a fixed M necessarily truncates the
+densest cells — round 2 shipped truncation silently, which inflated r_k ~10x and
+dimmed caustics ~100x (the pi*r_k^2 estimate). Round 3 makes it exact.
 """
 from __future__ import annotations
 
@@ -93,7 +96,10 @@ def build_photon_grid(
         ids = _cell_ids(pos, bb_min, cell, dims)
         occ = np.bincount(ids)
         occ = occ[occ > 0]
-        med = float(np.median(occ))
+        # Target a HIGH percentile, not the median: caustic maps concentrate most
+        # photons in few cells, and a median-sized grid leaves those cells far over
+        # the read cap M (query-time fallback then kicks in for most queries).
+        med = float(np.percentile(occ, 90))
         if 0.7 * target <= med <= 1.5 * target:
             break
         cell *= float(np.sqrt(target / med)) if med > 0 else 2.0
@@ -132,8 +138,56 @@ def build_photon_grid(
     )
 
 
-def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int):
-    """k-nearest photons of each query point (Q,3) within the one-ring neighborhood.
+def _knn_brute(arrays: PhotonGridArrays, points, k: int, n_photons: int,
+               chunk: int = 1024):
+    """Exact k-NN over ALL photons: chunked scan carrying a per-query top-k.
+
+    O(Q*N) — this is the correctness fallback for queries the grid gather cannot
+    serve exactly; it mirrors the reference's always-exact best-first search
+    (/root/reference/source/octree/linear-octree.cpp:25-117) at TPU-friendly
+    shapes (dense (Q, chunk) distance blocks + top_k merges)."""
+    dtype = points.dtype
+    Q = points.shape[0]
+    N = arrays.pos.shape[0]
+    pad = (-N) % chunk
+    pos = jnp.pad(arrays.pos, ((0, pad), (0, 0))) if pad else arrays.pos
+    n_chunks = pos.shape[0] // chunk
+    pos_c = pos.reshape(n_chunks, chunk, 3)
+    base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    init_d2 = jnp.full((Q, k), jnp.inf, dtype)
+    init_ix = jnp.zeros((Q, k), jnp.int32)
+
+    def step(carry, xs):
+        best_d2, best_ix = carry
+        p, b = xs
+        d = p[None, :, :] - points[:, None, :]
+        d2 = jnp.sum(d * d, axis=-1)                       # (Q, chunk)
+        ix = b + jnp.arange(chunk, dtype=jnp.int32)
+        d2 = jnp.where((ix < n_photons)[None, :], d2, jnp.inf)
+        cat_d2 = jnp.concatenate([best_d2, d2], axis=1)
+        cat_ix = jnp.concatenate([best_ix, jnp.broadcast_to(ix, (Q, chunk))], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d2, k)
+        return (-neg, jnp.take_along_axis(cat_ix, sel, axis=1)), None
+
+    (d2k, idxk), _ = jax.lax.scan(step, (init_d2, init_ix), (pos_c, base))
+    return d2k, idxk, jnp.isfinite(d2k)
+
+
+def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None):
+    """Exact k-nearest photons of each query point (Q,3).
+
+    `mask` (Q,) bool marks queries whose result matters; masked-off queries (dead /
+    parked wavefront lanes with garbage positions) never trigger the brute-force
+    fallback.
+
+    Fast path: gather up to M photons from the 27 cells around each query +
+    `lax.top_k`. A query is provably served exactly iff no gathered cell was
+    truncated at M and the found k-th distance is < cell_size (the 3x3x3 block
+    extends >= cell_size from the query in every direction, so it contains every
+    photon within that distance). Queries failing either check are re-answered by
+    an exact brute-force scan — gated by `lax.cond`, so batches with no flagged
+    query skip it entirely.
 
     Returns (d2 (Q,k), idx (Q,k) int32 into the sorted photon arrays, valid (Q,k)).
     Invalid slots have d2 = +inf. `arrays` is passed explicitly (not taken from
@@ -154,6 +208,7 @@ def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int):
     arange_m = jnp.arange(M, dtype=jnp.int32)
     d2_parts = []
     ix_parts = []
+    truncated = jnp.zeros((Q,), bool)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
@@ -164,6 +219,7 @@ def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int):
                 lin = (cs[:, 0] * ny + cs[:, 1]) * nz + cs[:, 2]
                 s = arrays.cell_start[lin]
                 e = arrays.cell_start[lin + 1]
+                truncated = truncated | (in_grid & (e - s > M))
                 idx = s[:, None] + arange_m[None, :]
                 ok = in_grid[:, None] & (idx < e[:, None])
                 idx_safe = jnp.minimum(idx, N - 1)
@@ -185,4 +241,29 @@ def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int):
         d2k = jnp.pad(d2k, ((0, 0), (0, pad)), constant_values=jnp.inf)
         idxk = jnp.pad(idxk, ((0, 0), (0, pad)))
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
-    return d2k, idxk, valid
+
+    if N <= k:
+        # Everything is already gathered from cell 0..N; one-ring == exhaustive.
+        return d2k, idxk, valid
+
+    # ---- exactness check + gated brute-force fallback ----
+    want = min(k, N)
+    n_found = jnp.sum(valid, axis=1)
+    rk2 = jnp.max(jnp.where(valid, d2k, 0.0), axis=1)
+    cell2 = jnp.asarray(grid.cell_size * grid.cell_size, dtype)
+    inexact = truncated | (n_found < want) | (rk2 >= cell2)
+    if mask is not None:
+        inexact = inexact & mask
+
+    def fallback(_):
+        bd2, bix, bval = _knn_brute(arrays, points, k, N)
+        m = inexact[:, None]
+        return (
+            jnp.where(m, bd2, d2k),
+            jnp.where(m, bix, idxk),
+            jnp.where(m, bval, valid),
+        )
+
+    return jax.lax.cond(
+        jnp.any(inexact), fallback, lambda _: (d2k, idxk, valid), operand=None
+    )

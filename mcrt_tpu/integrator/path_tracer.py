@@ -110,6 +110,7 @@ def scene_bounds(tables: SceneTables, meta: SceneMeta):
 class PathState(NamedTuple):
     bounce: jnp.ndarray            # scalar int32
     ray_count: jnp.ndarray         # scalar int32: total rays traced (primary+shadow)
+    trav_steps: jnp.ndarray        # scalar int32: BVH node-walk steps (primary rays)
     slot: jnp.ndarray              # (R,) int32 original lane index (for unsorting)
     pixel_index: jnp.ndarray       # (R,) uint32 (travels with the lane through sorts)
     sample_index: jnp.ndarray      # (R,) uint32
@@ -185,6 +186,7 @@ def make_bounce_step(
 
         hit = intersect_fn(st.origin, st.direction)
         ray_count = st.ray_count + jnp.sum(st.alive.astype(jnp.int32))
+        trav_steps = st.trav_steps + (hit.steps if hit.steps is not None else 0)
         missed = hit.surf_id < 0
         radiance = st.radiance
         if cfg.sky:
@@ -249,6 +251,7 @@ def make_bounce_step(
         nxt = PathState(
             bounce=st.bounce + 1,
             ray_count=ray_count,
+            trav_steps=trav_steps,
             slot=st.slot,
             pixel_index=st.pixel_index,
             sample_index=st.sample_index,
@@ -322,6 +325,7 @@ def trace(
     init = PathState(
         bounce=jnp.asarray(0, jnp.int32),
         ray_count=jnp.sum(i0),
+        trav_steps=jnp.sum(i0),
         slot=i0 + jnp.arange(R, dtype=jnp.int32),
         pixel_index=pixel_index,
         sample_index=sample_index,
@@ -365,5 +369,5 @@ def trace(
         # radiance of input ray i (film splatting indexes by the original order).
         radiance = jnp.zeros_like(radiance).at[final.slot].set(radiance)
     if return_stats:
-        return radiance, {"rays": final.ray_count}
+        return radiance, {"rays": final.ray_count, "traversal_steps": final.trav_steps}
     return radiance

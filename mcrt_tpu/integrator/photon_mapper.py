@@ -268,12 +268,15 @@ def _estimate(
     ix: common.Interaction,
     k: int,
     cone: bool,
+    mask=None,
 ):
-    """Shared k-NN radiance estimate. cone=True -> caustic filter, else global."""
+    """Shared k-NN radiance estimate. cone=True -> caustic filter, else global.
+    `mask` (R,) marks lanes whose estimate is used (others skip the exact-k-NN
+    fallback — dead/parked lanes hold garbage positions)."""
     dtype = ix.position.dtype
     if grid.empty:
         return jnp.zeros_like(ix.position)
-    d2, idx, valid = pgrid.knn(grid, arrays, ix.position, k)
+    d2, idx, valid = pgrid.knn(grid, arrays, ix.position, k, mask=mask)
     r2k = jnp.max(jnp.where(valid, d2, 0.0), axis=1)              # k-th (max) distance^2
     any_found = jnp.any(valid, axis=1)
 
@@ -366,9 +369,11 @@ def trace(
         from_cam_or_spec = st.ray_dirac | (st.bounce == 0)
 
         # Caustic estimate at every non-dirac interaction (:315)
-        caustic = _estimate(maps.caustic, caustic_arrays, ix, k, cone=True)
+        caustic_mask = alive & ~ix_dirac
+        caustic = _estimate(maps.caustic, caustic_arrays, ix, k, cone=True,
+                            mask=caustic_mask)
         radiance = radiance + jnp.where(
-            (alive & ~ix_dirac)[:, None], st.throughput * caustic, 0.0
+            caustic_mask[:, None], st.throughput * caustic, 0.0
         )
 
         cont_spec = alive & ix_dirac & from_cam_or_spec
@@ -387,7 +392,8 @@ def trace(
             prev_select_prob = jnp.ones((R,), dtype)
 
         # Global estimate terminates the path (:330)
-        glob = _estimate(maps.global_, global_arrays, ix, k, cone=False)
+        glob = _estimate(maps.global_, global_arrays, ix, k, cone=False,
+                         mask=terminate_global)
         radiance = radiance + jnp.where(
             terminate_global[:, None], st.throughput * glob, 0.0
         )

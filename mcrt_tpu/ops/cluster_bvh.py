@@ -132,9 +132,8 @@ def intersect_cluster(feat_c, tri_id_c, rayF, o, d, best_t, best_id, best_u, bes
 
     Precision: the TPU default computes f32 matmuls with single-pass bf16
     (~2e-3 rel error), which corrupts t enough to visibly shift hit points.
-    HIGH (bf16x3) recovers ~f32 accuracy at half the MXU passes of HIGHEST;
-    with cluster-local coordinates (small magnitudes) it matches the exact
-    refinement pass everywhere we've measured, so the sweep path uses HIGH.
+    HIGHEST (bf16x6) recovers f32 accuracy; with cluster-local coordinates
+    (small magnitudes) the winner then matches the exact refinement pass.
     """
     S = tri_id_c.shape[-1]
     out = jnp.einsum(
@@ -173,125 +172,13 @@ def intersect_cluster(feat_c, tri_id_c, rayF, o, d, best_t, best_id, best_u, bes
     return new_t, new_id, new_u, new_v
 
 
-def traverse_sweep(
-    cbvh: ClusterBVH,
-    origin,
-    direction,
-    block: int = 256,
-    cull_chunk: int = 32,
-    precision=jax.lax.Precision.HIGH,
-):
-    """Flat cull-and-sweep traversal: the TPU-shaped replacement for a tree walk.
-
-    The cluster-level tree of a fat-leaf BVH is tiny (C = P/S clusters), so
-    instead of walking it node-by-node (serial depth = nodes visited, each step a
-    scalar-ish AABB test — the round-1 bottleneck at ~0.5 M rays/s), we:
-
-      1. CULL: slab-test every ray against every cluster AABB (dense VPU work,
-         chunked over clusters to bound temporaries) and reduce to a per-(block,
-         cluster) earliest-entry t — `inf` where no ray in the block hits.
-      2. SORT: per block, order clusters by entry t (one `lax.sort` pair).
-      3. SWEEP: a lockstep while_loop where iteration i intersects each block
-         against its i-th nearest candidate cluster with the dense MXU matmul.
-         A block retires when its next candidate's entry t exceeds every ray's
-         current best hit — the closest-hit early-out the reference gets from
-         its per-ray priority queue (bvh.cpp:80-129), here at block granularity.
-
-    Serial depth becomes "candidate clusters actually swept" (single digits for
-    coherence-sorted rays) and every serial step is a dense matmul, which is
-    exactly the shape the MXU wants. Returns per-ray (t, tri_id, u, v).
-    """
-    dtype = origin.dtype
-    R = origin.shape[0]
-    C, S = cbvh.tri_id.shape
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-
-    K = min(block, R)
-    pad = (-R) % K
-    if pad:
-        origin = jnp.concatenate([origin, jnp.broadcast_to(origin[-1:], (pad, 3))], axis=0)
-        direction = jnp.concatenate([direction, jnp.broadcast_to(direction[-1:], (pad, 3))], axis=0)
-    B = origin.shape[0] // K
-    o = origin.reshape(B, K, 3)
-    d = direction.reshape(B, K, 3)
-    inv_d = 1.0 / d
-
-    # ---- 1. cull: per-(block, cluster) earliest entry t ----
-    CC = min(cull_chunk, C)
-    c_pad = (-C) % CC
-    # padding clusters get an empty box (lo > hi) -> never hit
-    bmin = jnp.concatenate([cbvh.cl_bb_min, jnp.full((c_pad, 3), big, dtype)]) if c_pad else cbvh.cl_bb_min
-    bmax = jnp.concatenate([cbvh.cl_bb_max, jnp.full((c_pad, 3), -big, dtype)]) if c_pad else cbvh.cl_bb_max
-    n_chunks = (C + c_pad) // CC
-    bmin_c = bmin.reshape(n_chunks, CC, 3)
-    bmax_c = bmax.reshape(n_chunks, CC, 3)
-
-    def cull(_, bb):
-        lo, hi = bb  # (CC,3)
-        t1 = (lo[None, None] - o[:, :, None, :]) * inv_d[:, :, None, :]  # (B,K,CC,3)
-        t2 = (hi[None, None] - o[:, :, None, :]) * inv_d[:, :, None, :]
-        t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)  # (B,K,CC)
-        t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        hit = (t_near <= t_far) & (t_far >= 0.0)
-        entry = jnp.where(hit, jnp.maximum(t_near, 0.0), big)
-        return _, jnp.min(entry, axis=1)  # (B,CC)
-
-    _, t_blk = jax.lax.scan(cull, None, (bmin_c, bmax_c))  # (n_chunks,B,CC)
-    t_blk = jnp.moveaxis(t_blk, 0, 1).reshape(B, n_chunks * CC)
-
-    # ---- 2. sort candidates per block by entry t ----
-    iota = jnp.broadcast_to(jnp.arange(t_blk.shape[1], dtype=jnp.int32), t_blk.shape)
-    t_sorted, order = jax.lax.sort((t_blk, iota), dimension=1, num_keys=1)
-
-    class St(NamedTuple):
-        i: jnp.ndarray
-        active: jnp.ndarray    # (B,) this step still has work
-        best_t: jnp.ndarray    # (B,K)
-        best_id: jnp.ndarray
-        best_u: jnp.ndarray
-        best_v: jnp.ndarray
-
-    n_cand = t_sorted.shape[1]
-
-    def step_active(i, best_t):
-        te = jax.lax.dynamic_slice_in_dim(t_sorted, i, 1, axis=1)[:, 0]  # (B,)
-        return (te < big) & (te <= jnp.max(best_t, axis=-1)) & (i < n_cand)
-
-    def cond(st: St):
-        return jnp.any(st.active)
-
-    def body(st: St):
-        i = jnp.minimum(st.i, n_cand - 1)
-        cl = jax.lax.dynamic_slice_in_dim(order, i, 1, axis=1)[:, 0]     # (B,)
-        cl = jnp.where(st.active, jnp.minimum(cl, C - 1), 0)
-        feat_c = cbvh.feat[cl]                                           # (B,10,4S)
-        tri_c = jnp.where(st.active[:, None], cbvh.tri_id[cl], -1)
-        o_local = o - cbvh.center[cl][:, None, :]
-        rayF = _ray_features(o_local, d)
-        bt, bid, bu, bv = intersect_cluster(
-            feat_c, tri_c, rayF, o, d, st.best_t, st.best_id, st.best_u, st.best_v,
-            precision=precision,
-        )
-        return St(st.i + 1, step_active(st.i + 1, bt), bt, bid, bu, bv)
-
-    zt = o[..., 0] * 0
-    init = St(
-        i=jnp.asarray(0, jnp.int32),
-        active=step_active(jnp.asarray(0, jnp.int32), zt + big),
-        best_t=zt + big,
-        best_id=zt.astype(jnp.int32) - 1,
-        best_u=zt,
-        best_v=zt,
-    )
-    final = jax.lax.while_loop(cond, body, init)
-    flat = lambda x: x.reshape(-1)[:R]
-    return flat(final.best_t), flat(final.best_id), flat(final.best_u), flat(final.best_v)
-
-
 def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: int = 200_000):
     """Block-synchronous while-while traversal of the cluster tree.
 
-    Returns per-ray (t, tri_id, u, v), tri_id = -1 on miss.
+    Returns per-ray (t, tri_id, u, v, steps), tri_id = -1 on miss; steps is a
+    scalar int32 — total node-walk iterations summed over all inner while_loops
+    (the on-device diagnostic for attributing traversal cost / runaway loops
+    without host-side bisection).
     """
     dtype = origin.dtype
     R = origin.shape[0]
@@ -335,14 +222,15 @@ def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: i
             node = jnp.where(active & ~stop, nxt, node)
             return node, at_leaf | stop, steps + 1
 
-        node, at_leaf, _ = jax.lax.while_loop(
+        node, at_leaf, steps = jax.lax.while_loop(
             w_cond, w_body, (node, ib0 != 0, jnp.asarray(0, jnp.int32))
         )
-        return node, at_leaf
+        return node, at_leaf, steps
 
     class St(NamedTuple):
         node: jnp.ndarray
         at_leaf: jnp.ndarray
+        steps: jnp.ndarray
         best_t: jnp.ndarray
         best_id: jnp.ndarray
         best_u: jnp.ndarray
@@ -363,13 +251,14 @@ def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: i
             feat_c, tri_c, rayF_local, o, d, st.best_t, st.best_id, st.best_u, st.best_v,
         )
         node = jnp.where(st.at_leaf, cbvh.skip[nd], st.node)
-        node, at_leaf = walk(node, bt)
-        return St(node, at_leaf, bt, bid, bu, bv)
+        node, at_leaf, steps = walk(node, bt)
+        return St(node, at_leaf, st.steps + steps, bt, bid, bu, bv)
 
-    node0, at_leaf0 = walk(ib0, o[..., 0] * 0 + big)
+    node0, at_leaf0, steps0 = walk(ib0, o[..., 0] * 0 + big)
     init = St(
         node=node0,
         at_leaf=at_leaf0,
+        steps=steps0,
         best_t=o[..., 0] * 0 + big,
         best_id=(o[..., 0] * 0).astype(jnp.int32) - 1,
         best_u=o[..., 0] * 0,
@@ -377,27 +266,27 @@ def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: i
     )
     final = jax.lax.while_loop(cond, body, init)
     flat = lambda x: x.reshape(-1)[:R]
-    return flat(final.best_t), flat(final.best_id), flat(final.best_u), flat(final.best_v)
+    return (
+        flat(final.best_t), flat(final.best_id), flat(final.best_u),
+        flat(final.best_v), final.steps,
+    )
 
 
 def make_intersect_fn(
     tables: SceneTables, meta: SceneMeta, cbvh: ClusterBVH, block: int = 256,
-    method: str = "walk",
 ):
     """Scene intersect closure: cluster BVH for triangles + brute spheres/quadrics.
 
-    method: "walk" (block-synchronous tree walk — the production path; with
-    coherence-sorted rays it measures ~250 M rays/s on v5e) or "sweep" (flat
-    cull-and-sweep, experimental).
+    The block-synchronous tree walk is the production traversal; with
+    coherence-sorted rays it measures 267-420 M rays/s on v5e (chunk 2^16-2^17,
+    tools/tpu_probe.py). A flat cull-and-sweep alternative was prototyped in
+    round 2 and measured 10,000x slower (0.02 M rays/s) — deleted in round 3.
     """
 
     def intersect(origin, direction):
         dtype = origin.dtype
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-        if method == "sweep":
-            best_t, best_id, u, v = traverse_sweep(cbvh, origin, direction, block)
-        else:
-            best_t, best_id, u, v = traverse(cbvh, origin, direction, block)
+        best_t, best_id, u, v, steps = traverse(cbvh, origin, direction, block)
         best_uv = jnp.stack([u, v], axis=-1)
         # Re-evaluate the winner exactly (same gathered-triangle ops as the brute
         # path) so BVH and no-BVH renders produce bitwise-identical hits.
@@ -423,6 +312,6 @@ def make_intersect_fn(
             best_id = jnp.where(better, idx.astype(jnp.int32) + meta.quad_offset, best_id)
             best_t = jnp.minimum(best_t, tt)
 
-        return Hit(t=best_t, surf_id=best_id, uv=best_uv)
+        return Hit(t=best_t, surf_id=best_id, uv=best_uv, steps=steps)
 
     return intersect

@@ -23,6 +23,7 @@ class Hit(NamedTuple):
     t: jnp.ndarray        # (R,)
     surf_id: jnp.ndarray  # (R,) int32, -1 = miss
     uv: jnp.ndarray       # (R, 2) triangle barycentrics
+    steps: jnp.ndarray | None = None  # scalar int32 BVH node-walk steps (None: brute)
 
 
 def _big(dtype):

@@ -22,6 +22,13 @@ from .integrator import path_tracer as pt
 from .scene.loader import CameraDef, Scene
 
 
+# Largest per-dispatch ray count validated on real TPU hardware (v5e). 2^18
+# reproducibly kills the chip with a kernel fault when the per-bounce coherence
+# sort runs inside the bounce loop (bisected round 3; see bench.py and
+# tools/fault_probe.py). render() refuses to dispatch beyond this envelope.
+MAX_VALIDATED_RAYS_PER_CHUNK = 1 << 17
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     dtype: str = "float32"
@@ -108,6 +115,15 @@ def render(
     render loses everything, camera.cpp:170-181). A matching checkpoint is resumed
     automatically; a mismatched one (different resolution/spp/seed/...) is ignored.
     """
+    if (
+        cfg.rays_per_chunk > MAX_VALIDATED_RAYS_PER_CHUNK
+        and any(d.platform != "cpu" for d in jax.devices())
+    ):
+        raise ValueError(
+            f"rays_per_chunk={cfg.rays_per_chunk} exceeds the TPU-validated envelope "
+            f"({MAX_VALIDATED_RAYS_PER_CHUNK}); 2^18-ray dispatches fault the chip "
+            "(see render.MAX_VALIDATED_RAYS_PER_CHUNK)."
+        )
     dtype = jnp.dtype(cfg.dtype).type
     cam = scene.cameras[camera_idx]
     sqrtspp = cfg.sqrtspp if cfg.sqrtspp is not None else cam.sqrtspp

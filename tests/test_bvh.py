@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import pytest
 
 from mcrt_tpu.accel.bvh_build import build_bvh
-from mcrt_tpu.ops import bvh_traverse, intersect as isect
+from mcrt_tpu.ops import intersect as isect
 
 
 def _random_tris(n, seed=0, spread=10.0):
@@ -40,46 +40,6 @@ def test_builder_invariants(kind):
     np.testing.assert_allclose(flat.bb_max[0], maxs.max(axis=0), rtol=1e-6)
 
 
-class _Tables:
-    pass
-
-
-@pytest.mark.parametrize("kind", ["binary_sah", "quaternary_sah", "octree"])
-def test_traversal_matches_brute_force(kind):
-    n_tris, n_rays = 300, 512
-    v0, e1, e2 = _random_tris(n_tris, 2)
-    mins, maxs = _bounds(v0, e1, e2)
-    flat = build_bvh(mins, maxs, kind=kind, dtype=np.float64)
-
-    t = _Tables()
-    t.tri_v0 = jnp.asarray(v0)
-    t.tri_e1 = jnp.asarray(e1)
-    t.tri_e2 = jnp.asarray(e2)
-    dbvh = bvh_traverse.device_bvh(flat, t)
-
-    rng = np.random.RandomState(3)
-    origin = jnp.asarray(rng.randn(n_rays, 3) * 20)
-    d = rng.randn(n_rays, 3)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    direction = jnp.asarray(d)
-
-    bt, bid, bu, bv = bvh_traverse.traverse(dbvh, origin, direction, flat.max_leaf)
-
-    # Brute force
-    tt, u, v, valid = isect.intersect_tris_block(
-        origin, direction, t.tri_v0, t.tri_e1, t.tri_e2, jnp.asarray(1e-9)
-    )
-    tt = np.asarray(jnp.where(valid, tt, jnp.inf))
-    ref_idx = tt.argmin(axis=-1)
-    ref_t = tt.min(axis=-1)
-    ref_hit = np.isfinite(ref_t)
-
-    got_hit = np.asarray(bid) >= 0
-    np.testing.assert_array_equal(got_hit, ref_hit)
-    np.testing.assert_allclose(np.asarray(bt)[got_hit], ref_t[ref_hit], rtol=1e-9)
-    np.testing.assert_array_equal(np.asarray(bid)[got_hit], ref_idx[ref_hit])
-
-
 def test_render_with_bvh_matches_without(tmp_path):
     """Full-scene check: hexagon room rendered with and without BVH must agree."""
     import json, pathlib
@@ -103,10 +63,10 @@ def test_render_with_bvh_matches_without(tmp_path):
     np.testing.assert_allclose(img_bvh, img_brute, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("method", ["walk", "sweep"])
-def test_cluster_bvh_matches_brute_force(method):
-    """MXU-dense cluster intersection parity with brute-force Moller-Trumbore."""
-    import jax
+@pytest.mark.parametrize("kind", ["binary_sah", "quaternary_sah", "octree"])
+def test_cluster_bvh_matches_brute_force(kind):
+    """MXU-dense cluster intersection parity with brute-force Moller-Trumbore,
+    for each of the three builders (reference bvh.cpp:24-56 variants)."""
     import jax.numpy as jnp
     from mcrt_tpu.accel.bvh_build import build_bvh
     from mcrt_tpu.ops import cluster_bvh
@@ -114,7 +74,7 @@ def test_cluster_bvh_matches_brute_force(method):
     n_tris, n_rays = 700, 512
     v0, e1, e2 = _random_tris(n_tris, 7)
     mins, maxs = _bounds(v0, e1, e2)
-    flat = build_bvh(mins, maxs, max_leaf=32, strict_leaf=True, dtype=np.float64)
+    flat = build_bvh(mins, maxs, kind=kind, max_leaf=32, strict_leaf=True, dtype=np.float64)
 
     class _S:
         pass
@@ -129,12 +89,8 @@ def test_cluster_bvh_matches_brute_force(method):
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     direction = jnp.asarray(d)
 
-    if method == "sweep":
-        bt, bid, bu, bv = cluster_bvh.traverse_sweep(
-            cbvh, origin, direction, block=64, precision=jax.lax.Precision.HIGHEST
-        )
-    else:
-        bt, bid, bu, bv = cluster_bvh.traverse(cbvh, origin, direction, block=64)
+    bt, bid, bu, bv, steps = cluster_bvh.traverse(cbvh, origin, direction, block=64)
+    assert int(steps) > 0
 
     tt, u, v, valid = isect.intersect_tris_block(
         origin, direction, jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), jnp.asarray(1e-9)

@@ -44,8 +44,7 @@ brute = None
 variants = {}
 for name, ifn in [
     ("brute", None),
-    ("walk", cluster_bvh.make_intersect_fn(tables, meta, dbvh, method="walk")),
-    ("sweep", cluster_bvh.make_intersect_fn(tables, meta, dbvh, method="sweep")),
+    ("walk", cluster_bvh.make_intersect_fn(tables, meta, dbvh)),
 ]:
     for sort in (False, True):
         r = run(ifn, sort)

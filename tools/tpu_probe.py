@@ -1,6 +1,6 @@
 """TPU probe: time one path-tracing chunk for each traversal method / chunk size.
 
-Usage: python tools/tpu_probe.py [--method walk|sweep] [log2_chunk ...]
+Usage: python tools/tpu_probe.py [log2_chunk ...]
 
 Pixels are strided across the whole image so every chunk sees a representative
 mix of geometry and sky (a contiguous prefix would only cover the top rows).
@@ -8,9 +8,14 @@ mix of geometry and sky (a contiguous prefix would only cover the top rows).
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
@@ -32,15 +37,11 @@ def main():
     from mcrt_tpu.ops import cluster_bvh
 
     args = sys.argv[1:]
-    methods = ["sweep"]
-    if "--method" in args:
+    if "--method" in args:  # legacy flag (sweep was deleted round 3); ignore value
         i = args.index("--method")
-        methods = [args[i + 1]]
         args = args[:i] + args[i + 2:]
-    if "--both" in args:
-        args.remove("--both")
-        methods = ["walk", "sweep"]
     sizes = [int(a) for a in args] or [16, 17]
+    methods = ["walk"]
 
     print("devices:", jax.devices(), flush=True)
 
@@ -68,7 +69,7 @@ def main():
     def make_run(method):
         @jax.jit
         def run_impl(tables, dbvh, px, py, si, film_acc):
-            intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, dbvh, method=method)
+            intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, dbvh)
             rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
             radiance, stats = pt.trace(
                 tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
