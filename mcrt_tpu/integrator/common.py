@@ -99,9 +99,14 @@ def sample_emissive(ix: Interaction, direction, bounce, ray_dirac, prev_light,
     direct = (bounce == 0) | ray_dirac
     out = -direction
     cos_light = g.dot(out, ix.normal)
-    light_pdf_e = ix.t_safe * ix.t_safe / bsdf._safe(ix.area * cos_light)
-    mis_e = g.power_heuristic(prev_bsdf_pdf, light_pdf_e)
     same_light = prev_light == hit_surf_id
+    # Double-where: non-light surfaces have area 0, making light_pdf_e inf and
+    # power_heuristic's partial w.r.t. prev_bsdf_pdf NaN on masked lanes.
+    pdf_used = is_emissive & same_light & (ix.area * cos_light > 0.0)
+    light_pdf_e = jnp.where(
+        pdf_used, ix.t_safe * ix.t_safe / bsdf._safe(ix.area * cos_light), 1.0
+    )
+    mis_e = g.power_heuristic(prev_bsdf_pdf, light_pdf_e)
     emit = jnp.where(
         direct[:, None],
         ix.radiosity,
@@ -161,7 +166,14 @@ def sample_direct(
         alive & ~ix.mat.dirac_delta & (cos_light_theta > 0.0)
         & ((cos_theta_s > 0.0) | retry) & vis
     )
-    light_pdf = sh.t * sh.t / bsdf._safe(l_area * cos_light_theta)
+    # Double-where BEFORE squaring: on occluded/parked lanes sh.t is float-max;
+    # t*t would be inf (making power_heuristic NaN) and even inside a where the
+    # untaken branch's partial d(t^2)/dt = 2t overflows to inf, which turns the
+    # masked lanes' zero cotangents into NaN for every upstream parameter.
+    t_vis = jnp.where(nee_ok, sh.t, 1.0)
+    light_pdf = jnp.where(
+        nee_ok, t_vis * t_vis / bsdf._safe(l_area * cos_light_theta), 1.0
+    )
     wi_l = g.to_local(sdir, ix.tb_t, ix.tb_b, ix.sn)
     f_nee, pdf_nee = bsdf.eval_layered(
         ix.mat, ix.wo_l, wi_l, ix.n1, ix.n2, ix.inside, ix.R_cl, ix.T,
@@ -202,7 +214,7 @@ def bsdf_bounce(ix: Interaction, direction, ctx, eps, flux: bool) -> Bounce:
     event = bsdf.select_event(mat, ix.n2, ix.R_cl, ix.T, u_int)
     dirac_next = (event != bsdf.DIFFUSE) & ~mat.rough_specular
 
-    vndf_l = bsdf.ggx_visible_microfacet(u_b0, u_b1, ix.wo_l, mat.specular_roughness)
+    vndf_l = bsdf.ggx_visible_microfacet(u_b0, u_b1, ix.wo_l, bsdf._ggx_safe_alpha(mat))
     spec_n = jnp.where(
         mat.rough_specular[:, None], g.from_local(vndf_l, ix.tb_t, ix.tb_b, ix.sn), ix.sn
     )
@@ -211,9 +223,12 @@ def bsdf_bounce(ix: Interaction, direction, ctx, eps, flux: bool) -> Bounce:
     cos_m = g.dot(spec_n, direction)
     k = 1.0 - inv_eta * inv_eta * (1.0 - cos_m * cos_m)
     refr_ok = k >= 0.0
+    # Double-where: sqrt'(0) = inf at the TIR boundary would leak NaN into ior
+    # gradients through the untaken (TIR) branch below.
+    k_safe = jnp.where(refr_ok, jnp.maximum(k, 1e-30), 1.0)
     refr_dir = (
         inv_eta[:, None] * direction
-        - (inv_eta * cos_m + jnp.sqrt(jnp.maximum(k, 0.0)))[:, None] * spec_n
+        - (inv_eta * cos_m + jnp.sqrt(k_safe))[:, None] * spec_n
     )
     tir_dir = direction - spec_n * (2.0 * cos_m)[:, None]
     diff_dir = g.from_local(g.cos_weighted_hemi(u_b0, u_b1), ix.tb_t, ix.tb_b, ix.sn)

@@ -276,12 +276,12 @@ def _estimate(
     dtype = ix.position.dtype
     if grid.empty:
         return jnp.zeros_like(ix.position)
-    d2, idx, valid = pgrid.knn(grid, arrays, ix.position, k, mask=mask)
+    d2, idx, valid, w = pgrid.knn(grid, arrays, ix.position, k, mask=mask)
     r2k = jnp.max(jnp.where(valid, d2, 0.0), axis=1)              # k-th (max) distance^2
     any_found = jnp.any(valid, axis=1)
 
     wi_w = arrays.direction[idx]                                   # (R,k,3)
-    flux = arrays.flux[idx]
+    flux = arrays.flux[idx] * w[..., None]  # occ/M rescale for subsampled cells
     wi_l = g.to_local(wi_w, ix.tb_t[:, None], ix.tb_b[:, None], ix.sn[:, None])
     mat_e = _expand_mat(ix.mat)
     f, pdf = bsdf.eval_layered(

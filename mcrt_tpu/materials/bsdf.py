@@ -77,7 +77,9 @@ def fresnel_dielectric(n1, n2, cos_theta):
     ratio = n2 / jnp.where(n1 == 0.0, jnp.asarray(1.0, n1.dtype), n1)
     g2 = ratio * ratio + cos_theta * cos_theta - 1.0
     tir = g2 < 0.0
-    gr = jnp.sqrt(jnp.maximum(g2, 0.0))
+    # Double-where: sqrt'(0) = inf would leak NaN into ior gradients through the
+    # untaken branch at TIR lanes (the result there is overwritten with 1).
+    gr = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(g2, 0.0)))
     g_p_c = gr + cos_theta
     g_m_c = gr - cos_theta
     denom1 = jnp.where(g_p_c == 0.0, jnp.asarray(1.0, gr.dtype), g_p_c)
@@ -96,12 +98,19 @@ def fresnel_conductor(n1, eta_real, eta_imag, cos_theta):
     cos2 = ct * ct
     sin2 = 1.0 - cos2
     n1e = n1[..., None]
+    # Non-conductor lanes carry eta == 0; the sqrt arguments below then touch 0
+    # and their inf partials poison every gradient routed through the masked
+    # conductor branch of eval_layered. Substitute a benign dummy eta — those
+    # lanes' results are discarded by the has_complex where.
+    real_conductor = (eta_real > 0.0) | (eta_imag > 0.0)
+    eta_real = jnp.where(real_conductor, eta_real, 1.0)
+    eta_imag = jnp.where(real_conductor, eta_imag, 1.0)
     eta2 = (eta_real / n1e) ** 2
     eta_k2 = (eta_imag / n1e) ** 2
     t0 = eta2 - eta_k2 - sin2
-    a2_p_b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * eta_k2, 0.0))
+    a2_p_b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * eta_k2, 1e-30))
     t1 = a2_p_b2 + cos2
-    t2 = 2.0 * ct * jnp.sqrt(jnp.maximum(0.5 * (a2_p_b2 + t0), 0.0))
+    t2 = 2.0 * ct * jnp.sqrt(jnp.maximum(0.5 * (a2_p_b2 + t0), 1e-30))
     r_perp = (t1 - t2) / (t1 + t2)
     t3 = cos2 * a2_p_b2 + sin2 * sin2
     t4 = t2 * sin2
@@ -118,14 +127,22 @@ def _safe(x):
 
 
 def ggx_D(m, a):
-    """NDF (reference ggx.cpp:21-24), isotropic a."""
+    """NDF (reference ggx.cpp:21-24), isotropic a.
+
+    Denominator floored at 1e-12, NOT dtype-tiny: m can be the zero vector (e.g.
+    the transmission half-vector with n1 == n2), and 1/tiny partials are inf,
+    which poisons gradients through masked lanes. Legitimate denominators are
+    >= pi*a^4 ~ 3e-8 at the sharpest alpha in the bundled scenes."""
     a2 = a * a
     denom = jnp.pi * a2 * ((m[..., 0] ** 2 + m[..., 1] ** 2) / _safe(a2) + m[..., 2] ** 2) ** 2
-    return 1.0 / _safe(denom)
+    return 1.0 / jnp.maximum(denom, 1e-12)
 
 
 def ggx_lambda(w, a):
-    return (-1.0 + jnp.sqrt(1.0 + (a * a) * (w[..., 0] ** 2 + w[..., 1] ** 2) / _safe(w[..., 2] ** 2))) / 2.0
+    # z^2 floored at 1e-12 (not dtype-tiny): 1/tiny overflows to inf and the
+    # inf partial turns zero cotangents into NaN in reverse mode.
+    z2 = jnp.maximum(w[..., 2] ** 2, 1e-12)
+    return (-1.0 + jnp.sqrt(1.0 + (a * a) * (w[..., 0] ** 2 + w[..., 1] ** 2) / z2)) / 2.0
 
 
 def ggx_G1(w, a):
@@ -136,28 +153,51 @@ def ggx_G2(wi, wo, a):
     return 1.0 / (1.0 + ggx_lambda(wo, a) + ggx_lambda(wi, a))
 
 
+def _sgn_clamp(x, eps):
+    """Clamp |x| >= eps preserving sign (0 treated as +). Gradient-safe divisor."""
+    mag = jnp.maximum(jnp.abs(x), eps)
+    return jnp.where(x < 0.0, -mag, mag)
+
+
 def ggx_DV(m, wo, a):
-    return ggx_G1(wo, a) * g.dot(wo, m) * ggx_D(m, a) / _safe(wo[..., 2])
+    return ggx_G1(wo, a) * g.dot(wo, m) * ggx_D(m, a) / _sgn_clamp(wo[..., 2], 1e-9)
 
 
 def ggx_reflection(wi, wo, a):
-    """(brdf_scalar, pdf) for microfacet reflection (reference ggx.cpp:46-52)."""
-    m = g.normalize(wo + wi)
-    pdf = ggx_DV(m, wo, a) / _safe(4.0 * g.dot(m, wo))
-    f = ggx_D(m, a) * ggx_G2(wi, wo, a) / _safe(4.0 * wo[..., 2] * wi[..., 2])
-    return f, pdf
+    """(brdf_scalar, pdf) for microfacet reflection (reference ggx.cpp:46-52).
+    Degenerate wi ~ -wo lanes (a transmission direction fed through the
+    reflection lobe) get a benign half-vector and a zero result."""
+    h = wo + wi
+    degen = g.dot(h, h) < 1e-8
+    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], wi.dtype), h.shape)
+    m = g.normalize(jnp.where(degen[..., None], up, h), eps=1e-9)
+    pdf = ggx_DV(m, wo, a) / _sgn_clamp(4.0 * g.dot(m, wo), 1e-9)
+    f = ggx_D(m, a) * ggx_G2(wi, wo, a) / _sgn_clamp(4.0 * wo[..., 2] * wi[..., 2], 1e-12)
+    zero = jnp.zeros_like(f)
+    return jnp.where(degen, zero, f), jnp.where(degen, zero, pdf)
 
 
 def ggx_transmission(wi, wo, n1, n2, a):
-    """(btdf_scalar, pdf) for microfacet transmission (reference ggx.cpp:54-65)."""
+    """(btdf_scalar, pdf) for microfacet transmission (reference ggx.cpp:54-65).
+
+    Degenerate half-vector guard: with n1 ~ n2 and wi ~ -wo the unnormalized m is
+    ~0; dividing by its tiny length produces overflow-scale reverse-mode partials
+    that reach every upstream parameter, so the degenerate lanes are substituted
+    with a benign m BEFORE any nonlinearity and their (physically meaningless)
+    result forced to 0."""
     m_un = wo * n1[..., None] + wi * n2[..., None]
-    m_len2 = jnp.maximum(g.dot(m_un, m_un), jnp.finfo(wi.dtype).tiny)
+    m_len2_raw = g.dot(m_un, m_un)
+    degen = m_len2_raw < 1e-8
+    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], wi.dtype), m_un.shape)
+    m_un = jnp.where(degen[..., None], up, m_un)
+    m_len2 = g.dot(m_un, m_un)
     m = m_un / jnp.sqrt(m_len2)[..., None]
     m = jnp.where((n1 < n2)[..., None], -m, m)
     dm_dwi = n2 * n2 * jnp.abs(g.dot(wi, m)) / m_len2
     pdf = ggx_DV(m, wo, a) * dm_dwi
-    f = jnp.abs(ggx_G2(wi, wo, a) * ggx_D(m, a) * g.dot(wo, m) * dm_dwi / _safe(wo[..., 2] * wi[..., 2]))
-    return f, pdf
+    f = jnp.abs(ggx_G2(wi, wo, a) * ggx_D(m, a) * g.dot(wo, m) * dm_dwi / _sgn_clamp(wo[..., 2] * wi[..., 2], 1e-12))
+    zero = jnp.zeros_like(f)
+    return jnp.where(degen, zero, f), jnp.where(degen, zero, pdf)
 
 
 def ggx_visible_microfacet(u, v, wo, a):
@@ -214,13 +254,20 @@ def diffuse_reflection(mat: MatParams, wi, wo):
     return jnp.where(bad[..., None], 0.0, f), jnp.where(bad, 0.0, pdf)
 
 
+def _ggx_safe_alpha(mat: MatParams):
+    """GGX alpha for evaluation: smooth lanes (alpha == 0) would compute 0 * inf
+    = NaN inside ggx_D and poison every upstream gradient through the untaken
+    jnp.where branch; substitute a benign dummy — their results are discarded."""
+    return jnp.where(mat.rough_specular, mat.specular_roughness, 0.25)
+
+
 def specular_reflection(mat: MatParams, wi, wo):
     """(f (R,3), pdf (R,)) — smooth mirror lobe or GGX (material.cpp:29-45)."""
     wiz = wi[..., 2]
-    a = mat.specular_roughness
+    a = _ggx_safe_alpha(mat)
     f_ggx, pdf_ggx = ggx_reflection(wi, wo, a)
     f_rough = mat.specular_reflectance * f_ggx[..., None]
-    f_smooth = mat.specular_reflectance / _safe(jnp.abs(wiz))[..., None]
+    f_smooth = mat.specular_reflectance / jnp.maximum(jnp.abs(wiz), 1e-9)[..., None]
     pdf = jnp.where(mat.rough_specular, pdf_ggx, 1.0)
     f = jnp.where(mat.rough_specular[..., None], f_rough, f_smooth)
     bad = wiz < 0.0
@@ -236,11 +283,11 @@ def specular_transmission(mat: MatParams, wi, wo, n1, n2, inside, flux):
     ratio_n2n1 = (n2 / _safe(n1)) ** 2
     ratio_n1n2 = (n1 / _safe(n2)) ** 2
 
-    f_ggx, pdf_ggx = ggx_transmission(wi, wo, n1, n2, mat.specular_roughness)
+    f_ggx, pdf_ggx = ggx_transmission(wi, wo, n1, n2, _ggx_safe_alpha(mat))
     f_rough = btdf_color * f_ggx[..., None]
     if flux:
         f_rough = f_rough * ratio_n2n1[..., None]
-    f_smooth = btdf_color * mat.transmittance / _safe(jnp.abs(wiz))[..., None]
+    f_smooth = btdf_color * mat.transmittance / jnp.maximum(jnp.abs(wiz), 1e-9)[..., None]
     # NOTE: reference multiplies transmittance once in btdf init and once more in the
     # smooth branch (btdf *= transmittance / |wi.z|) — but btdf was initialized to
     # transmittance (or 1 inside), so smooth branch is transmittance^2 outside? No:
@@ -272,10 +319,18 @@ def eval_layered(
     wi_dirac,      # (R,) bool: wi is the direction of the ray spawned dirac-ly
 ):
     """Returns (f (R,3), pdf (R,)) of the full layered BSDF (no |wi.z| factor)."""
-    # cos_theta for Fresnel: wo.z, or half-vector based for rough specular
-    m_refl = g.normalize(wo + wi)
+    # cos_theta for Fresnel: wo.z, or half-vector based for rough specular.
+    # Degenerate half-vectors (wi ~ -wo, or n1 ~ n2 canceling the transmission m)
+    # are substituted with +z BEFORE normalize: normalize(~0) has overflow-scale
+    # partials that poison gradients through the masked branches.
+    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], wi.dtype), wi.shape)
+    h_refl = wo + wi
+    h_refl = jnp.where((g.dot(h_refl, h_refl) < 1e-8)[..., None], up, h_refl)
+    m_refl = g.normalize(h_refl)
     cos_refl = g.dot(wo, m_refl)
-    m_tr = g.normalize(wo * n1[..., None] + wi * n2[..., None])
+    h_tr = wo * n1[..., None] + wi * n2[..., None]
+    h_tr = jnp.where((g.dot(h_tr, h_tr) < 1e-8)[..., None], up, h_tr)
+    m_tr = g.normalize(h_tr)
     cos_tr = g.dot(wo, m_tr)
     cos_tr = jnp.where(n1 < n2, -cos_tr, cos_tr)
     cos_rough = jnp.where(wi[..., 2] > 0.0, cos_refl, cos_tr)

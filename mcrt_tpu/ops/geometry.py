@@ -24,8 +24,12 @@ def length(v):
     return jnp.sqrt(jnp.maximum(dot(v, v), 0.0))
 
 
-def normalize(v, eps=0.0):
-    return v / jnp.sqrt(jnp.maximum(dot3(v, v), jnp.asarray(eps, v.dtype) ** 2 + jnp.finfo(v.dtype).tiny))
+def normalize(v, eps=1e-9):
+    """Unit vector; |v| floored at eps. The floor is NOT dtype-tiny: normalize of
+    a near-zero difference (e.g. light sample - shadow origin when the hit IS the
+    light) has reverse-mode partials ~ 1/|v|^3, which overflow to inf under a
+    tiny-only guard and turn masked-lane zero cotangents into NaN."""
+    return v / jnp.sqrt(jnp.maximum(dot3(v, v), jnp.asarray(eps, v.dtype) ** 2))
 
 
 def reflect(d, n):
@@ -87,7 +91,9 @@ def solve_quadratic(a, b, c):
     t_min/t_max are garbage and must be gated by `valid`.
     """
     d = b * b - 4.0 * a * c
-    sqrt_d = jnp.sqrt(jnp.maximum(d, 0.0))
+    # Double-where: sqrt'(0) = inf on no-root lanes (d < 0 clamped to 0) poisons
+    # reverse-mode gradients through masked lanes.
+    sqrt_d = jnp.sqrt(jnp.where(d >= 0.0, jnp.maximum(d, 1e-30), 1.0))
     q = -0.5 * (b + jnp.where(b < 0.0, -sqrt_d, sqrt_d))
     safe = lambda x: jnp.where(x == 0.0, jnp.asarray(1.0, x.dtype), x)
     t0 = q / safe(a)

@@ -101,7 +101,9 @@ def intersect_spheres_block(origin, direction, centers, radii):
     d2 = jnp.sum(perp * perp, axis=-1)
     r2 = radii[None, :] ** 2
     hit = d2 <= r2
-    t_hc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+    # Double-where: sqrt'(0) = inf on miss lanes (d2 > r2 clamped to 0) poisons
+    # reverse-mode gradients of ray origin/direction through masked lanes.
+    t_hc = jnp.sqrt(jnp.where(hit, jnp.maximum(r2 - d2, 1e-30), 1.0))
     t_min = t_ca - t_hc
     t_max = t_ca + t_hc
     valid = hit & (t_max >= 0.0)

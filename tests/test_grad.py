@@ -120,3 +120,68 @@ def test_grad_is_deterministic(tiny_scene):
     g1 = jax.grad(f)(tables.mat_reflectance)
     g2 = jax.grad(f)(tables.mat_reflectance)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+# ---------------------------------------------------------------------------------
+# Fresnel-coupled parameters (SURVEY §7 hard part 3): specular_roughness, ior,
+# transparency route through event probabilities (R_cl, T). Detach policy: the
+# Sobol decisions u are parameter-free integers -> the SELECTED event is constant
+# under infinitesimal parameter change almost surely; the weight f/pdf (including
+# the event-selection probability inside pdf) is evaluated differentiably, so
+# reverse mode through the replay equals the derivative of the piecewise-smooth
+# estimator. FD agrees wherever no event flips inside the stencil, so we use a
+# two-eps Richardson consistency check to reject flipped-decision stencils.
+# ---------------------------------------------------------------------------------
+
+def _fd_check(f, x0, g, eps_list=(1e-5, 5e-6), rtol=5e-3):
+    """Require AD grad `g` to match central FD at the largest |g| coordinate,
+    with FD itself stable across two stencil widths (no event flip)."""
+    flat = np.asarray(g).ravel()
+    order = np.argsort(-np.abs(flat))
+    x0 = np.asarray(x0, np.float64)
+    for k in order[:4]:
+        if abs(flat[k]) == 0:
+            continue
+        fds = []
+        for eps in eps_list:
+            e = np.zeros_like(flat)
+            e[k] = eps
+            e = e.reshape(x0.shape)
+            fds.append((float(f(jnp.asarray(x0 + e))) - float(f(jnp.asarray(x0 - e)))) / (2 * eps))
+        if abs(fds[0] - fds[1]) > 0.05 * max(abs(fds[0]), 1e-9):
+            continue  # decision flipped inside the stencil; try next coordinate
+        rel = abs(fds[0] - flat[k]) / max(abs(fds[0]), 1e-12)
+        assert rel < rtol, (k, fds, flat[k], rel)
+        return
+    pytest.fail("no stable FD coordinate found (all stencils flip events)")
+
+
+def _scene_8x8(name, sqrtspp=2):
+    j = json.loads((REF_SCENES / f"{name}.json").read_text())
+    j["cameras"][0]["image"] = {"width": 8, "height": 8, "plain": True}
+    j["cameras"][0]["sqrtspp"] = sqrtspp
+    j.pop("bvh", None)  # brute-force intersect: exact + differentiable-shape-free
+    return Scene(j, scene_dir=REF_SCENES)
+
+
+@pytest.mark.parametrize("scene_name,param", [
+    ("ggx_test", "mat_specular_roughness"),
+    ("ior_test", "mat_ior"),
+    ("ior_test", "mat_transparency"),
+])
+def test_fresnel_coupled_grads_match_fd(scene_name, param):
+    global meta_g
+    scene = _scene_8x8(scene_name)
+    meta_g = scene.meta()
+    tables = scene.tables(jnp.float64)
+
+    f = jax.jit(lambda v: _render_sum(scene, tables, param, v))
+    x0 = getattr(tables, param)
+    if param == "mat_transparency":
+        # T = 1 is a stationary point of the layered mix on these scenes (and the
+        # static mat_opaque flag already froze T = 0 materials); probe T = 0.5.
+        x0 = jnp.where(x0 > 0, 0.5, x0)
+    g = jax.grad(f)(x0)
+    assert np.all(np.isfinite(np.asarray(g))), "non-finite gradient"
+    assert np.any(np.asarray(g) != 0), f"gradient identically zero for {param}"
+    _fd_check(f, x0, g)

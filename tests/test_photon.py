@@ -27,7 +27,8 @@ def test_knn_matches_brute_force():
     grid = pgrid.build_photon_grid(pos, d, flux, k, np.float64)
 
     q = rng.rand(256, 3) * np.array([10.0, 10.0, 0.3])
-    d2, idx, valid = pgrid.knn(grid, grid.arrays, jnp.asarray(q), k)
+    d2, idx, valid, w = pgrid.knn(grid, grid.arrays, jnp.asarray(q), k)
+    assert np.all(np.asarray(w) == 1.0), "uniform density must not be subsampled"
     d2 = np.asarray(d2)
     valid = np.asarray(valid)
     assert valid.all()
@@ -41,11 +42,69 @@ def test_knn_matches_brute_force():
         np.testing.assert_allclose(got, ref, rtol=1e-9)
 
 
+def test_knn_exact_on_caustic_density():
+    """Adversarial skewed density (VERDICT r2 #4): a tight gaussian cluster (the
+    caustic hot spot) over a sparse background. Round 2's fixed read cap silently
+    truncated the dense cells and inflated r_k ~10x. exact=True must match brute
+    force at EVERY density — hot-spot queries (truncated cells -> brute upgrade)
+    and sparse queries (r_k > cell_size -> brute upgrade) alike."""
+    rng = np.random.RandomState(7)
+    cluster = rng.randn(50_000, 3) * np.array([0.01, 0.01, 0.001])  # hot spot
+    background = rng.rand(2_000, 3) * np.array([10.0, 10.0, 0.3]) - 5.0
+    pos = np.concatenate([cluster, background])
+    d = rng.randn(len(pos), 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    flux = rng.rand(len(pos), 3)
+
+    k = 32
+    grid = pgrid.build_photon_grid(pos, d, flux, k, np.float64)
+    gp = np.asarray(grid.arrays.pos)
+
+    q_dense = rng.randn(64, 3) * np.array([0.012, 0.012, 0.002])
+    q_sparse = rng.rand(16, 3) * np.array([10.0, 10.0, 0.3]) - 5.0
+    for q in (q_dense, q_sparse):
+        d2e, idxe, valide, we = pgrid.knn(grid, grid.arrays, jnp.asarray(q), k, exact=True)
+        d2e, valide = np.asarray(d2e), np.asarray(valide)
+        assert valide.all()
+        for i in range(0, len(q), 5):
+            ref = np.sort(np.sum((gp - q[i]) ** 2, axis=-1))[:k]
+            np.testing.assert_allclose(np.sort(d2e[i]), ref, rtol=1e-9)
+
+
+def test_knn_subsample_reweighting_is_unbiased():
+    """Cells over the read cap M contribute a random M-subsample with flux weight
+    occ/M. The flux-density estimate sum(flux*w)/(pi r_k^2) over the capped
+    result must agree with the exact-k-NN estimate on a uniform density (where
+    ground truth = flux_density) within sampling noise."""
+    rng = np.random.RandomState(11)
+    n = 120_000
+    side = 1.0
+    pos = rng.rand(n, 3) * np.array([side, side, 1e-4])  # ~point-plane: huge occupancy
+    flux = np.ones((n, 3)) * 2.0
+    k = 32
+    grid = pgrid.build_photon_grid(pos, pos, flux, k, np.float64)
+    assert grid.m_per_cell < 100_000  # the cap must actually bite somewhere
+    q = np.column_stack([
+        rng.rand(64) * side * 0.8 + side * 0.1,
+        rng.rand(64) * side * 0.8 + side * 0.1,
+        np.zeros(64),
+    ])
+    d2, idx, valid, w = pgrid.knn(grid, grid.arrays, jnp.asarray(q), k)
+    d2, valid, w = np.asarray(d2), np.asarray(valid), np.asarray(w)
+    assert valid.all()
+    fl = np.asarray(grid.arrays.flux)[np.asarray(idx)][..., 0]
+    r2k = np.max(np.where(valid, d2, 0.0), axis=1)
+    est = (fl * w * valid).sum(axis=1) / (np.pi * r2k)
+    true_density = 2.0 * n / (side * side)  # flux per unit area
+    rel = abs(est.mean() - true_density) / true_density
+    assert rel < 0.12, (est.mean(), true_density, rel)
+
+
 def test_knn_sparse_returns_fewer():
     rng = np.random.RandomState(1)
     pos = rng.rand(5, 3)
     grid = pgrid.build_photon_grid(pos, pos, pos, 50, np.float64)
-    d2, idx, valid = pgrid.knn(grid, grid.arrays, jnp.asarray(rng.rand(4, 3)), 50)
+    d2, idx, valid, w = pgrid.knn(grid, grid.arrays, jnp.asarray(rng.rand(4, 3)), 50)
     assert np.asarray(valid).sum(axis=1).max() <= 5
 
 
