@@ -69,7 +69,10 @@ def bench_ours():
             tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
             rays.sample_index, return_stats=True, intersect_fn=intersect_fn,
         )
-        return film_acc + film_mod.splat(film_cfg, rays.px, radiance), stats["rays"]
+        return (
+            film_acc + film_mod.splat(film_cfg, rays.px, radiance),
+            stats["rays"], stats["traversal_steps"],
+        )
 
     def run(px, py, si, film_acc):
         return run_impl(tables, dbvh, px, py, si, film_acc)
@@ -94,27 +97,31 @@ def bench_ours():
     px0 = (idx0 % SIZE).astype(np.uint32)
     py0 = (idx0 // SIZE).astype(np.uint32)
     si0 = (np.arange(chunk) % spp).astype(np.uint32)
-    f, rc = run(jnp.asarray(px0), jnp.asarray(py0), jnp.asarray(si0), film)
+    f, rc, ts = run(jnp.asarray(px0), jnp.asarray(py0), jnp.asarray(si0), film)
     f.block_until_ready()
 
     t0 = time.time()
     done = 0
     film = jnp.zeros((SIZE, SIZE, 4), dtype)
     ray_counts = []
+    step_counts = []
     while done + chunk <= total:
         lin = np.arange(done, done + chunk)
         idx = lin // spp
         px = (idx % SIZE).astype(np.uint32)
         py = (idx // SIZE).astype(np.uint32)
         si = (lin % spp).astype(np.uint32)
-        film, rc = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
+        film, rc, ts = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
         # keep rc on device — int() here would force a sync per dispatch and
         # serialize the pipeline being timed (round-1 verdict, weak #9)
         ray_counts.append(rc)
+        step_counts.append(ts)
         done += chunk
     film.block_until_ready()
     dt = time.time() - t0
     total_rays = int(sum(int(r) for r in ray_counts))
+    walk_steps = int(sum(int(s[0]) for s in step_counts))
+    leaf_rounds = int(sum(int(s[1]) for s in step_counts))
     paths = done
     return {
         "paths": paths,
@@ -123,6 +130,8 @@ def bench_ours():
         "rays_per_s": total_rays / dt,
         "paths_per_s": paths / dt,
         "rays_per_path": total_rays / max(paths, 1),
+        "walk_steps": walk_steps,
+        "leaf_rounds": leaf_rounds,
     }
 
 
@@ -168,6 +177,8 @@ def main():
                 "value": round(ours["rays_per_s"], 1),
                 "unit": "rays/s",
                 "vs_baseline": round(vs, 3) if vs is not None else None,
+                "traversal_walk_steps": ours["walk_steps"],
+                "traversal_leaf_rounds": ours["leaf_rounds"],
             }
         )
     )

@@ -152,6 +152,49 @@ def build_photon_grid(
     )
 
 
+def save_photon_grid(path, grid: PhotonGrid) -> None:
+    """Serialize a built grid (photon SoA + CSR + geometry) to an .npz.
+
+    The reference rebuilds its photon maps every run (photon-mapper.cpp ctor —
+    at its published 347M-photon scale that is minutes of lost work per
+    preemption); persisted grids make photon renders resumable."""
+    import pathlib
+
+    path = pathlib.Path(path)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(
+        tmp,
+        pos=np.asarray(grid.arrays.pos),
+        direction=np.asarray(grid.arrays.direction),
+        flux=np.asarray(grid.arrays.flux),
+        cell_start=np.asarray(grid.arrays.cell_start),
+        bb_min=np.asarray(grid.bb_min),
+        cell_size=grid.cell_size,
+        dims=np.asarray(grid.dims),
+        m_per_cell=grid.m_per_cell,
+        n_photons=grid.n_photons,
+    )
+    tmp.replace(path)  # atomic on POSIX
+
+
+def load_photon_grid(path) -> PhotonGrid:
+    z = np.load(path)
+    arrays = PhotonGridArrays(
+        pos=jnp.asarray(z["pos"]),
+        direction=jnp.asarray(z["direction"]),
+        flux=jnp.asarray(z["flux"]),
+        cell_start=jnp.asarray(z["cell_start"]),
+    )
+    return PhotonGrid(
+        arrays=arrays,
+        bb_min=tuple(float(x) for x in z["bb_min"]),
+        cell_size=float(z["cell_size"]),
+        dims=tuple(int(x) for x in z["dims"]),
+        m_per_cell=int(z["m_per_cell"]),
+        n_photons=int(z["n_photons"]),
+    )
+
+
 def _knn_brute(arrays: PhotonGridArrays, points, k: int, n_photons: int,
                chunk: int = 1024):
     """Exact k-NN over ALL photons: chunked scan carrying a per-query top-k.
@@ -229,38 +272,45 @@ def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None,
     best_ix = jnp.zeros((Q, kk), jnp.int32)
     best_w = jnp.ones((Q, kk), dtype)
     touched_trunc = jnp.zeros((Q,), bool)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                off = jnp.asarray([dx, dy, dz], jnp.int32)
-                cc = ci + off
-                in_grid = jnp.all((cc >= 0) & (cc < dimv), axis=-1)
-                cs = jnp.clip(cc, 0, dimv - 1)
-                lin = (cs[:, 0] * ny + cs[:, 1]) * nz + cs[:, 2]
-                s = arrays.cell_start[lin]
-                e = arrays.cell_start[lin + 1]
-                occ = e - s
-                truncated = in_grid & (occ > M)
-                touched_trunc = touched_trunc | truncated
-                w_cell = jnp.where(
-                    truncated, occ.astype(dtype) / jnp.asarray(M, dtype), 1.0
-                )
-                idx = s[:, None] + arange_m[None, :]
-                ok = in_grid[:, None] & (idx < e[:, None])
-                idx_safe = jnp.minimum(idx, N - 1)
-                p = arrays.pos[idx_safe]                      # (Q, M, 3)
-                d = p - points[:, None, :]
-                d2 = jnp.where(ok, jnp.sum(d * d, axis=-1), jnp.inf)
-                # merge into running top-k
-                cat_d2 = jnp.concatenate([best_d2, d2], axis=1)
-                cat_ix = jnp.concatenate([best_ix, idx_safe], axis=1)
-                cat_w = jnp.concatenate(
-                    [best_w, jnp.broadcast_to(w_cell[:, None], d2.shape)], axis=1
-                )
-                neg, sel = jax.lax.top_k(-cat_d2, kk)
-                best_d2 = -neg
-                best_ix = jnp.take_along_axis(cat_ix, sel, axis=1)
-                best_w = jnp.take_along_axis(cat_w, sel, axis=1)
+    # Merge in groups of cells: one top_k per group over (Q, k + G*M). A small
+    # G bounds memory when M is large; with the default M cap (<= max(8k,256))
+    # all 27 cells fit one merge (27 top_k calls measured ~20x slower on CPU).
+    max_cols = 16384
+    group_cells = max(1, min(27, max_cols // max(M, 1)))
+    offsets = [
+        (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    ]
+    for gstart in range(0, 27, group_cells):
+        d2_parts, ix_parts, w_parts = [], [], []
+        for dx, dy, dz in offsets[gstart : gstart + group_cells]:
+            off = jnp.asarray([dx, dy, dz], jnp.int32)
+            cc = ci + off
+            in_grid = jnp.all((cc >= 0) & (cc < dimv), axis=-1)
+            cs = jnp.clip(cc, 0, dimv - 1)
+            lin = (cs[:, 0] * ny + cs[:, 1]) * nz + cs[:, 2]
+            s = arrays.cell_start[lin]
+            e = arrays.cell_start[lin + 1]
+            occ = e - s
+            truncated = in_grid & (occ > M)
+            touched_trunc = touched_trunc | truncated
+            w_cell = jnp.where(
+                truncated, occ.astype(dtype) / jnp.asarray(M, dtype), 1.0
+            )
+            idx = s[:, None] + arange_m[None, :]
+            ok = in_grid[:, None] & (idx < e[:, None])
+            idx_safe = jnp.minimum(idx, N - 1)
+            p = arrays.pos[idx_safe]                      # (Q, M, 3)
+            d = p - points[:, None, :]
+            d2_parts.append(jnp.where(ok, jnp.sum(d * d, axis=-1), jnp.inf))
+            ix_parts.append(idx_safe)
+            w_parts.append(jnp.broadcast_to(w_cell[:, None], (Q, M)))
+        cat_d2 = jnp.concatenate([best_d2] + d2_parts, axis=1)
+        cat_ix = jnp.concatenate([best_ix] + ix_parts, axis=1)
+        cat_w = jnp.concatenate([best_w] + w_parts, axis=1)
+        neg, sel = jax.lax.top_k(-cat_d2, kk)
+        best_d2 = -neg
+        best_ix = jnp.take_along_axis(cat_ix, sel, axis=1)
+        best_w = jnp.take_along_axis(cat_w, sel, axis=1)
 
     # Radius cap: beyond cell_size the one-ring is not guaranteed complete, so
     # results there are discarded (capped-k-NN semantics; see module docstring).

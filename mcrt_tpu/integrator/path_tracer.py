@@ -110,7 +110,7 @@ def scene_bounds(tables: SceneTables, meta: SceneMeta):
 class PathState(NamedTuple):
     bounce: jnp.ndarray            # scalar int32
     ray_count: jnp.ndarray         # scalar int32: total rays traced (primary+shadow)
-    trav_steps: jnp.ndarray        # scalar int32: BVH node-walk steps (primary rays)
+    trav_steps: jnp.ndarray        # (2,) int32 [walk_steps, leaf_rounds] (primary rays)
     slot: jnp.ndarray              # (R,) int32 original lane index (for unsorting)
     pixel_index: jnp.ndarray       # (R,) uint32 (travels with the lane through sorts)
     sample_index: jnp.ndarray      # (R,) uint32
@@ -325,7 +325,7 @@ def trace(
     init = PathState(
         bounce=jnp.asarray(0, jnp.int32),
         ray_count=jnp.sum(i0),
-        trav_steps=jnp.sum(i0),
+        trav_steps=jnp.zeros(2, jnp.int32) + jnp.sum(i0),
         slot=i0 + jnp.arange(R, dtype=jnp.int32),
         pixel_index=pixel_index,
         sample_index=sample_index,

@@ -175,10 +175,12 @@ def intersect_cluster(feat_c, tri_id_c, rayF, o, d, best_t, best_id, best_u, bes
 def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: int = 200_000):
     """Block-synchronous while-while traversal of the cluster tree.
 
-    Returns per-ray (t, tri_id, u, v, steps), tri_id = -1 on miss; steps is a
-    scalar int32 — total node-walk iterations summed over all inner while_loops
-    (the on-device diagnostic for attributing traversal cost / runaway loops
-    without host-side bisection).
+    Returns per-ray (t, tri_id, u, v, steps), tri_id = -1 on miss; steps is an
+    int32 (2,) vector [walk_steps, leaf_rounds]: total node-walk iterations
+    summed over all inner while_loops, and outer body iterations (each body runs
+    one (B,K,10)@(B,10,4S) MXU dispatch — the number that sizes the dense-FLOP
+    budget for MFU estimates). On-device diagnostics for attributing traversal
+    cost / runaway loops without host-side bisection.
     """
     dtype = origin.dtype
     R = origin.shape[0]
@@ -231,6 +233,7 @@ def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: i
         node: jnp.ndarray
         at_leaf: jnp.ndarray
         steps: jnp.ndarray
+        rounds: jnp.ndarray
         best_t: jnp.ndarray
         best_id: jnp.ndarray
         best_u: jnp.ndarray
@@ -252,13 +255,14 @@ def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: i
         )
         node = jnp.where(st.at_leaf, cbvh.skip[nd], st.node)
         node, at_leaf, steps = walk(node, bt)
-        return St(node, at_leaf, st.steps + steps, bt, bid, bu, bv)
+        return St(node, at_leaf, st.steps + steps, st.rounds + 1, bt, bid, bu, bv)
 
     node0, at_leaf0, steps0 = walk(ib0, o[..., 0] * 0 + big)
     init = St(
         node=node0,
         at_leaf=at_leaf0,
         steps=steps0,
+        rounds=jnp.asarray(0, jnp.int32),
         best_t=o[..., 0] * 0 + big,
         best_id=(o[..., 0] * 0).astype(jnp.int32) - 1,
         best_u=o[..., 0] * 0,
@@ -268,7 +272,7 @@ def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: i
     flat = lambda x: x.reshape(-1)[:R]
     return (
         flat(final.best_t), flat(final.best_id), flat(final.best_u),
-        flat(final.best_v), final.steps,
+        flat(final.best_v), jnp.stack([final.steps, final.rounds]),
     )
 
 

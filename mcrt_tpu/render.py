@@ -145,7 +145,41 @@ def render(
             global_seed=cfg.global_seed,
         )
         isect_fn = cb.make_intersect_fn(tables, meta, cbvh) if cbvh is not None else None
-        maps = pm.build_photon_maps(tables, meta, pmcfg, scene, isect_fn, verbose=verbose)
+        # Photon-map checkpoint: built grids persist beside the film checkpoint so
+        # a preempted photon render resumes without re-emitting (the reference
+        # rebuilds its maps every run, photon-mapper.cpp:24-232).
+        maps = None
+        pm_ckpt = None
+        if checkpoint_dir is not None:
+            import hashlib
+            import pathlib as _pl
+
+            from .accel import photon_grid as _pg
+
+            key = hashlib.sha1(
+                repr((pmcfg, cam.width, cam.height, meta, cfg.dtype)).encode()
+            ).hexdigest()[:16]
+            pm_dir = _pl.Path(checkpoint_dir)
+            pm_dir.mkdir(parents=True, exist_ok=True)
+            pm_ckpt = (pm_dir / f"photons_caustic_{key}.npz",
+                       pm_dir / f"photons_global_{key}.npz")
+            if all(p.exists() for p in pm_ckpt):
+                try:
+                    maps = pm.PhotonMaps(
+                        caustic=_pg.load_photon_grid(pm_ckpt[0]),
+                        global_=_pg.load_photon_grid(pm_ckpt[1]),
+                    )
+                    if verbose:
+                        print("Resumed photon maps from checkpoint")
+                except Exception:
+                    maps = None  # corrupt/foreign checkpoint: rebuild
+        if maps is None:
+            maps = pm.build_photon_maps(tables, meta, pmcfg, scene, isect_fn, verbose=verbose)
+            if pm_ckpt is not None:
+                from .accel import photon_grid as _pg
+
+                _pg.save_photon_grid(pm_ckpt[0], maps.caustic)
+                _pg.save_photon_grid(pm_ckpt[1], maps.global_)
         run0 = _chunk_render_pm_fn(meta, pmcfg, cam, film_cfg, maps, dtype)
         run = lambda px, py, si, film_acc: run0(
             tables, cbvh, maps.caustic.arrays, maps.global_.arrays, px, py, si, film_acc

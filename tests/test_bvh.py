@@ -90,7 +90,7 @@ def test_cluster_bvh_matches_brute_force(kind):
     direction = jnp.asarray(d)
 
     bt, bid, bu, bv, steps = cluster_bvh.traverse(cbvh, origin, direction, block=64)
-    assert int(steps) > 0
+    assert int(steps[0]) > 0 and int(steps[1]) > 0
 
     tt, u, v, valid = isect.intersect_tris_block(
         origin, direction, jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), jnp.asarray(1e-9)

@@ -49,3 +49,34 @@ def test_matches_reference(name, sqrtspp, ch_tol, p95_tol, mean_tol):
     assert np.all(per_channel < ch_tol), (name, per_channel)
     assert np.percentile(diff, 95) < p95_tol, (name, np.percentile(diff, 95))
     assert diff.mean() < mean_tol, (name, diff.mean())
+
+
+# High-spp mean-convergence cases (VERDICT r2 #8): at 1024 spp the Monte Carlo
+# noise in a 32x32 channel mean is well under 1%, so these catch systematic
+# brightness bias (e.g. a mis-scaled BSDF lobe) that the looser per-pixel cases
+# above would let through. One scene per BSDF family.
+CONVERGENCE_CASES = [
+    "hexagon_room_diffuse",  # Lambertian
+    "ior_test",              # smooth dielectric + IOR stack
+    "ggx_test",              # GGX rough specular
+    "metals",                # conductor Fresnel (measured complex IOR)
+    "veach_mis",             # NEE + MIS weighting
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", CONVERGENCE_CASES)
+def test_mean_converges_to_reference(name):
+    j = json.loads((REF_SCENES / f"{name}.json").read_text())
+    j["cameras"][0]["image"] = {"width": 32, "height": 32, "plain": True}
+    j["cameras"][0]["sqrtspp"] = 32
+    scene = Scene(j, scene_dir=REF_SCENES)
+
+    hdr = render(scene, 0, RenderConfig(dtype="float32", rays_per_chunk=1 << 16))
+    ours = np.clip(image_mod.finalize(hdr, scene.cameras[0].image), 0.0, 1.0)
+    ref = image_mod.read_tga(GOLDENS / f"{name}_32_s32.tga").astype(np.float64) / 255.0
+
+    ours_mean = ours.mean(axis=(0, 1))
+    ref_mean = ref.mean(axis=(0, 1))
+    rel = np.abs(ours_mean - ref_mean) / np.maximum(ref_mean, 1e-3)
+    assert np.all(rel < 0.01), (name, ours_mean, ref_mean, rel)

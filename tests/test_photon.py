@@ -147,3 +147,49 @@ def test_photon_map_cross_validates_path_tracer():
     lit = blocks_pt > 0.1 * m_pt
     rel = np.abs(blocks_pm - blocks_pt)[lit] / blocks_pt[lit]
     assert np.percentile(rel, 90) < 0.25, np.percentile(rel, 90)
+
+
+def test_photon_grid_checkpoint_roundtrip(tmp_path):
+    """Built photon grids persist and reload bit-identically (resume support —
+    the reference re-emits every run, photon-mapper.cpp:24-232)."""
+    rng = np.random.RandomState(3)
+    pos = rng.rand(5000, 3)
+    d = rng.randn(5000, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    flux = rng.rand(5000, 3)
+    grid = pgrid.build_photon_grid(pos, d, flux, 16, np.float32)
+    p = tmp_path / "grid.npz"
+    pgrid.save_photon_grid(p, grid)
+    loaded = pgrid.load_photon_grid(p)
+    assert loaded.n_photons == grid.n_photons
+    assert loaded.dims == grid.dims
+    assert loaded.m_per_cell == grid.m_per_cell
+    np.testing.assert_array_equal(np.asarray(loaded.arrays.pos), np.asarray(grid.arrays.pos))
+    np.testing.assert_array_equal(np.asarray(loaded.arrays.cell_start), np.asarray(grid.arrays.cell_start))
+    q = jnp.asarray(rng.rand(32, 3))
+    a = pgrid.knn(grid, grid.arrays, q, 16)
+    b = pgrid.knn(loaded, loaded.arrays, q, 16)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_photon_render_resumes_from_checkpoint(tmp_path):
+    """render(checkpoint_dir=...) persists photon maps; a second run reuses them
+    (and produces the same image)."""
+    from mcrt_tpu import Scene, RenderConfig, render
+
+    j = json.loads((REF_SCENES / "hexagon_room_diffuse.json").read_text())
+    j["cameras"][0]["image"] = {"width": 16, "height": 16, "plain": True}
+    j["cameras"][0]["sqrtspp"] = 1
+    j["photon_map"] = {"emissions": 2e4, "caustic_factor": 1.0, "k_nearest_photons": 20}
+
+    scene = Scene(j, scene_dir=REF_SCENES)
+    cfg = RenderConfig(dtype="float32", rays_per_chunk=1 << 10, integrator="photon_mapper")
+    img1 = render(scene, 0, cfg, checkpoint_dir=tmp_path)
+    pm_files = sorted(tmp_path.glob("photons_*.npz"))
+    assert len(pm_files) == 2, pm_files
+    # Remove the film checkpoint so the image is recomputed from loaded maps
+    for f in tmp_path.glob("film_*.npz"):
+        f.unlink()
+    img2 = render(scene, 0, cfg, checkpoint_dir=tmp_path)
+    np.testing.assert_allclose(img1, img2, rtol=1e-6, atol=1e-7)

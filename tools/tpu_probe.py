@@ -40,14 +40,20 @@ def main():
     if "--method" in args:  # legacy flag (sweep was deleted round 3); ignore value
         i = args.index("--method")
         args = args[:i] + args[i + 2:]
+    bvh_type = None
+    if "--bvh" in args:
+        i = args.index("--bvh")
+        bvh_type = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sizes = [int(a) for a in args] or [16, 17]
-    methods = ["walk"]
 
     print("devices:", jax.devices(), flush=True)
 
     j = json.loads(SCENE.read_text())
     j["cameras"][0]["image"] = {"width": SIZE, "height": SIZE, "plain": True}
     j["cameras"][0]["sqrtspp"] = SQRTSPP
+    if bvh_type is not None:
+        j["bvh"] = {"type": bvh_type}
     scene = Scene(j, scene_dir=SCENE.parent)
     dtype = jnp.float32
     tables = scene.tables(dtype)
@@ -66,7 +72,7 @@ def main():
     spp = SQRTSPP * SQRTSPP
     n_pix = SIZE * SIZE
 
-    def make_run(method):
+    def make_run():
         @jax.jit
         def run_impl(tables, dbvh, px, py, si, film_acc):
             intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, dbvh)
@@ -75,36 +81,48 @@ def main():
                 tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
                 rays.sample_index, return_stats=True, intersect_fn=intersect_fn,
             )
-            return film_acc + film_mod.splat(film_cfg, rays.px, radiance), stats["rays"]
+            return (film_acc + film_mod.splat(film_cfg, rays.px, radiance),
+                    stats["rays"], stats["traversal_steps"])
         return run_impl
 
-    for method in methods:
-        run_impl = make_run(method)
-        for lg in sizes:
-            chunk = 1 << lg
-            film = jnp.zeros((SIZE, SIZE, 4), dtype)
-            # golden-ratio stride scatters samples over the full image
-            lin = (np.arange(chunk, dtype=np.int64) * 2654435761) % (n_pix * spp)
-            idx = lin // spp
-            px = (idx % SIZE).astype(np.uint32)
-            py = ((idx // SIZE) % SIZE).astype(np.uint32)
-            si = (lin % spp).astype(np.uint32)
-            t0 = time.time()
-            f, rc = run_impl(tables, dbvh, jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
-            f.block_until_ready()
-            compile_s = time.time() - t0
-            reps = 3
-            t0 = time.time()
-            for _ in range(reps):
-                f, rc = run_impl(tables, dbvh, jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
-            f.block_until_ready()
-            dt = (time.time() - t0) / reps
-            rays = int(rc)
-            print(
-                f"{method} chunk=2^{lg} compile={compile_s:.1f}s time={dt*1e3:.1f}ms "
-                f"rays={rays} rays/path={rays/chunk:.2f} rays/s={rays/dt/1e6:.2f}M",
-                flush=True,
-            )
+    S = dbvh.tri_id.shape[1]
+    run_impl = make_run()
+    for lg in sizes:
+        chunk = 1 << lg
+        film = jnp.zeros((SIZE, SIZE, 4), dtype)
+        # golden-ratio stride scatters samples over the full image
+        lin = (np.arange(chunk, dtype=np.int64) * 2654435761) % (n_pix * spp)
+        idx = lin // spp
+        px = (idx % SIZE).astype(np.uint32)
+        py = ((idx // SIZE) % SIZE).astype(np.uint32)
+        si = (lin % spp).astype(np.uint32)
+        t0 = time.time()
+        f, rc, ts = run_impl(tables, dbvh, jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
+        f.block_until_ready()
+        compile_s = time.time() - t0
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            f, rc, ts = run_impl(tables, dbvh, jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
+        f.block_until_ready()
+        dt = (time.time() - t0) / reps
+        rays = int(rc)
+        walk_steps, leaf_rounds = int(ts[0]), int(ts[1])
+        # Dense-intersector FLOPs: every outer traversal round runs one
+        # (B,K,10)@(B,10,4S) einsum over ALL blocks (masked lanes included).
+        B = (chunk + 255) // 256
+        flops = leaf_rounds * B * (256 * 10 * 4 * S * 2)
+        v5e_peak_bf16 = 197e12
+        # The intersector runs at Precision.HIGHEST = 6 bf16 passes per f32 matmul.
+        mfu_nominal = flops / dt / v5e_peak_bf16
+        mxu_busy = 6 * flops / dt / v5e_peak_bf16
+        print(
+            f"walk{'/' + bvh_type if bvh_type else ''} chunk=2^{lg} compile={compile_s:.1f}s "
+            f"time={dt*1e3:.1f}ms rays={rays} rays/path={rays/chunk:.2f} "
+            f"rays/s={rays/dt/1e6:.2f}M walk_steps={walk_steps} leaf_rounds={leaf_rounds} "
+            f"mfu={mfu_nominal*100:.2f}% mxu_busy={mxu_busy*100:.1f}%",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
