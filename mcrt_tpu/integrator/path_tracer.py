@@ -35,6 +35,11 @@ class PTConfig:
     sky: bool = True                  # add sky gradient on miss (photon pass 2: False)
     global_seed: int = 0
     sort_rays: bool = True            # re-sort lanes by coherence key every bounce
+    collect_traversal_stats: bool = False  # accumulate BVH walk/round counters.
+    # OFF by default: joining the traversal's internal loop counters into the
+    # bounce-loop carry makes XLA generate catastrophically slow TPU code for
+    # chunks >= 2^16 (11.7 s/dispatch vs 0.9 ms measured on v5e, round 3 bisect)
+    # while <= 2^15 is unaffected. Enable on a small diagnostic dispatch only.
 
 
 def ray_offset_eps(dtype) -> float:
@@ -186,7 +191,10 @@ def make_bounce_step(
 
         hit = intersect_fn(st.origin, st.direction)
         ray_count = st.ray_count + jnp.sum(st.alive.astype(jnp.int32))
-        trav_steps = st.trav_steps + (hit.steps if hit.steps is not None else 0)
+        if cfg.collect_traversal_stats and hit.steps is not None:
+            trav_steps = st.trav_steps + hit.steps
+        else:
+            trav_steps = st.trav_steps
         missed = hit.surf_id < 0
         radiance = st.radiance
         if cfg.sky:

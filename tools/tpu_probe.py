@@ -72,13 +72,13 @@ def main():
     spp = SQRTSPP * SQRTSPP
     n_pix = SIZE * SIZE
 
-    def make_run():
+    def make_run(c):
         @jax.jit
         def run_impl(tables, dbvh, px, py, si, film_acc):
             intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, dbvh)
-            rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
+            rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, c.global_seed, dtype)
             radiance, stats = pt.trace(
-                tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
+                tables, meta, c, rays.origin, rays.direction, rays.pixel_index,
                 rays.sample_index, return_stats=True, intersect_fn=intersect_fn,
             )
             return (film_acc + film_mod.splat(film_cfg, rays.px, radiance),
@@ -86,7 +86,26 @@ def main():
         return run_impl
 
     S = dbvh.tri_id.shape[1]
-    run_impl = make_run()
+    run_impl = make_run(cfg)
+    # Stats-collecting variant: accumulating the walk counters through the
+    # bounce carry slows TPU codegen 10,000x at chunks >= 2^16 (round-3 bisect;
+    # PTConfig.collect_traversal_stats), so counters come from a separate 2^15
+    # dispatch and MFU at larger sizes scales rounds by the measured rays ratio.
+    import dataclasses as _dc
+    run_diag = make_run(_dc.replace(cfg, collect_traversal_stats=True))
+    dchunk = 1 << 15
+    lin = (np.arange(dchunk, dtype=np.int64) * 2654435761) % (n_pix * spp)
+    idx = lin // spp
+    pxd = jnp.asarray((idx % SIZE).astype(np.uint32))
+    pyd = jnp.asarray(((idx // SIZE) % SIZE).astype(np.uint32))
+    sid = jnp.asarray((lin % spp).astype(np.uint32))
+    import os as _os
+    if _os.environ.get("PROBE_NO_DIAG"):
+        diag_rays, diag_steps, diag_rounds = 1, 0, 0
+    else:
+        _, rc_d, ts_d = run_diag(tables, dbvh, pxd, pyd, sid, jnp.zeros((SIZE, SIZE, 4), dtype))
+        diag_rays, diag_steps, diag_rounds = int(rc_d), int(ts_d[0]), int(ts_d[1])
+    print(f"diag chunk=2^15: rays={diag_rays} walk_steps={diag_steps} leaf_rounds={diag_rounds}", flush=True)
     for lg in sizes:
         chunk = 1 << lg
         film = jnp.zeros((SIZE, SIZE, 4), dtype)
@@ -107,11 +126,15 @@ def main():
         f.block_until_ready()
         dt = (time.time() - t0) / reps
         rays = int(rc)
-        walk_steps, leaf_rounds = int(ts[0]), int(ts[1])
+        # Scale the diagnostic counters by the measured ray ratio.
+        walk_steps = int(diag_steps * rays / max(diag_rays, 1))
+        leaf_rounds = int(diag_rounds * rays / max(diag_rays, 1))
         # Dense-intersector FLOPs: every outer traversal round runs one
         # (B,K,10)@(B,10,4S) einsum over ALL blocks (masked lanes included).
         B = (chunk + 255) // 256
-        flops = leaf_rounds * B * (256 * 10 * 4 * S * 2)
+        # rounds scale ~log-ish with B, not linearly; the ray-ratio scaling is an
+        # upper-bound-ish estimate — treat MFU as indicative.
+        flops = leaf_rounds * ((dchunk + 255) // 256) * (256 * 10 * 4 * S * 2) * (chunk / dchunk)
         v5e_peak_bf16 = 197e12
         # The intersector runs at Precision.HIGHEST = 6 bf16 passes per f32 matmul.
         mfu_nominal = flops / dt / v5e_peak_bf16
