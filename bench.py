@@ -77,7 +77,8 @@ def bench_ours():
             )
             return (
                 film_acc + film_mod.splat(film_cfg, rays.px, radiance),
-                stats["rays"], stats["traversal_steps"],
+                stats["rays"],
+                stats.get("traversal_steps", jnp.zeros(2, jnp.int32)),
             )
         return run_impl
 
@@ -152,6 +153,95 @@ def bench_ours():
     }
 
 
+def bench_bwd(chunk_lg: int = 17, reps: int = 4):
+    """Forward+backward rays/s: value_and_grad of a pixel loss on spaceship 512^2
+    with material-parameter gradients (reflectance, specular_roughness, ior,
+    transparency), sample indices drawn at 1024 spp — the BASELINE.md north-star
+    operating point. The bounce scan is rematerialized (jax.checkpoint) so the
+    64-bounce backward fits HBM at the production chunk size."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mcrt_tpu.scene.loader import Scene
+    from mcrt_tpu.integrator import path_tracer as pt
+    from mcrt_tpu.camera import camera as cam_mod
+    from mcrt_tpu.camera import film as film_mod
+    from mcrt_tpu.render import build_device_bvh
+    from mcrt_tpu.ops import cluster_bvh
+
+    SQRTSPP_BWD = 32  # 1024 spp
+    j = json.loads(SCENE.read_text())
+    j["cameras"][0]["image"] = {"width": SIZE, "height": SIZE, "plain": True}
+    j["cameras"][0]["sqrtspp"] = SQRTSPP_BWD
+    scene = Scene(j, scene_dir=SCENE.parent)
+    dtype = jnp.float32
+    tables = scene.tables(dtype)
+    meta = scene.meta()
+    cam = scene.cameras[0]
+    cfg = pt.PTConfig()
+    film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
+    dbvh = build_device_bvh(scene, tables, "float32")
+
+    PARAM_KEYS = ("mat_reflectance", "mat_specular_roughness", "mat_ior", "mat_transparency")
+    params0 = {k: getattr(tables, k) for k in PARAM_KEYS}
+
+    def loss_fn(params, tables, dbvh, px, py, si):
+        t = tables._replace(**params)
+        ifn = cluster_bvh.make_intersect_fn(t, meta, dbvh)
+        rays = cam_mod.generate_rays(cam, px, py, si, t.ior, cfg.global_seed, dtype)
+        radiance, stats = pt.trace(
+            t, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
+            rays.sample_index, differentiable=True, return_stats=True,
+            intersect_fn=ifn,
+        )
+        acc = film_mod.splat(film_cfg, rays.px, radiance)
+        # Pixel loss on the raw accumulator (not film_mod.scan): a single chunk
+        # leaves most pixels with zero filter weight, so the weighted mean is
+        # undefined — the splat still sits in the differentiated graph.
+        return jnp.mean(acc[..., :3] ** 2), stats["rays"]
+
+    vag = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    import numpy as np
+    chunk = 1 << chunk_lg
+    spp = SQRTSPP_BWD * SQRTSPP_BWD
+    n_pix = SIZE * SIZE
+
+    def make_batch(offset):
+        lin = ((np.arange(chunk, dtype=np.int64) + offset * chunk) * 2654435761) % (n_pix * spp)
+        idx = lin // spp
+        px = jnp.asarray((idx % SIZE).astype(np.uint32))
+        py = jnp.asarray(((idx // SIZE) % SIZE).astype(np.uint32))
+        si = jnp.asarray((lin % spp).astype(np.uint32))
+        return px, py, si
+
+    px, py, si = make_batch(0)
+    (loss, rays0), grads = vag(params0, tables, dbvh, px, py, si)
+    jax.block_until_ready(grads)
+    assert np.isfinite(float(loss)), "bwd loss not finite"
+    for k, gv in grads.items():
+        assert np.all(np.isfinite(np.asarray(gv))), f"non-finite grad for {k}"
+
+    batches = [make_batch(i) for i in range(reps)]
+    t0 = time.time()
+    total_rays = 0
+    rays_list = []
+    for px, py, si in batches:
+        (loss, rays), grads = vag(params0, tables, dbvh, px, py, si)
+        rays_list.append(rays)
+    jax.block_until_ready(grads)
+    dt = time.time() - t0
+    total_rays = int(sum(int(r) for r in rays_list))
+    return {
+        "rays_per_s": total_rays / dt,
+        "chunk": chunk,
+        "reps": reps,
+        "time_s": dt,
+        "rays": total_rays,
+        "loss": float(loss),
+    }
+
+
 def bench_reference():
     """Reference renderer paths/s on this machine (committed cache; re-measure by
     deleting tools/ref_bench.json with the reference binary built)."""
@@ -179,8 +269,30 @@ def bench_reference():
     return result
 
 
+def bench_bwd_subprocess():
+    """Run the fwd+bwd benchmark in a child process (a TPU kernel fault there must
+    not kill the headline bench), trying descending chunk sizes."""
+    for lg in (17, 16, 15):
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--bwd-only", str(lg)],
+                capture_output=True, text=True, timeout=1800, cwd=str(REPO),
+            )
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    return json.loads(line)
+        except Exception:
+            pass
+    return None
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--bwd-only":
+        lg = int(sys.argv[2]) if len(sys.argv) > 2 else 17
+        print(json.dumps(bench_bwd(chunk_lg=lg)), flush=True)
+        return
     ours = bench_ours()
+    bwd = bench_bwd_subprocess()
     ref = bench_reference()
     vs = None
     if ref.get("paths_per_s"):
@@ -194,6 +306,8 @@ def main():
                 "value": round(ours["rays_per_s"], 1),
                 "unit": "rays/s",
                 "vs_baseline": round(vs, 3) if vs is not None else None,
+                "fwd_bwd_rays_per_s_1024spp": round(bwd["rays_per_s"], 1) if bwd else None,
+                "fwd_bwd_chunk": bwd["chunk"] if bwd else None,
                 "diag_walk_steps_32k": ours["walk_steps"],
                 "diag_leaf_rounds_32k": ours["leaf_rounds"],
             }

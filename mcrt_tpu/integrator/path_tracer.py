@@ -34,7 +34,10 @@ class PTConfig:
     ior_stack_size: int = 8
     sky: bool = True                  # add sky gradient on miss (photon pass 2: False)
     global_seed: int = 0
-    sort_rays: bool = True            # re-sort lanes by coherence key every bounce
+    # Ray coherence sorting lives INSIDE the BVH intersect wrapper now
+    # (ops/cluster_bvh.make_intersect_fn(sort_rays=...)): the round-3 design that
+    # permuted the whole ~22-array bounce carry per bounce faulted the v5e chip
+    # at 2^18-ray dispatches. The carry stays in lane order permanently.
     collect_traversal_stats: bool = False  # accumulate BVH walk/round counters.
     # OFF by default: joining the traversal's internal loop counters into the
     # bounce-loop carry makes XLA generate catastrophically slow TPU code for
@@ -60,42 +63,12 @@ def sky_color(direction):
 # Parked-ray constants: dead lanes are rewritten to a ray far outside any scene,
 # pointing away, so the block-synchronous traversal never descends for them (a
 # block of all-dead lanes skips the whole tree in one step). See traverse() in
-# ops/cluster_bvh.py.
+# ops/cluster_bvh.py. The coherence sort inside make_intersect_fn pushes parked
+# rays to the tail blocks (their Morton key clips to the far corner).
 PARK_DISTANCE = 2e30
 
-
-def _part1by2(x):
-    """Spread the low 10 bits of x so there are 2 zero bits between each."""
-    x = x & 0x3FF
-    x = (x | (x << 16)) & 0x030000FF
-    x = (x | (x << 8)) & 0x0300F00F
-    x = (x | (x << 4)) & 0x030C30C3
-    x = (x | (x << 2)) & 0x09249249
-    return x
-
-
-def coherence_key(origin, direction, bb_lo, bb_hi):
-    """Sort key grouping rays that start near each other and point the same way.
-
-    Layout (high→low): 3-bit direction octant | 27-bit Morton code of the origin
-    quantized to the scene bounds. This is the TPU analogue of the reference's
-    work-queue keeping threads busy on nearby buckets (work-queue.hpp:13-61): the
-    block-synchronous traversal is only efficient when the 256 rays of a block
-    share a frustum, which sorted secondary bounces restore.
-    """
-    octant = (
-        (direction[:, 0] < 0).astype(jnp.uint32)
-        + 2 * (direction[:, 1] < 0).astype(jnp.uint32)
-        + 4 * (direction[:, 2] < 0).astype(jnp.uint32)
-    )
-    q = jnp.clip((origin - bb_lo) / jnp.maximum(bb_hi - bb_lo, 1e-30), 0.0, 1.0)
-    cell = (q * 1023.0).astype(jnp.uint32)
-    morton = (
-        _part1by2(cell[:, 0])
-        | (_part1by2(cell[:, 1]) << 1)
-        | (_part1by2(cell[:, 2]) << 2)
-    )
-    return ((octant << 27) | (morton >> 3)).astype(jnp.int32)
+# Re-export: the Morton/octant sort key lives with the traversal it serves.
+from ..ops.cluster_bvh import coherence_key  # noqa: E402,F401
 
 
 def scene_bounds(tables: SceneTables, meta: SceneMeta):
@@ -116,8 +89,7 @@ class PathState(NamedTuple):
     bounce: jnp.ndarray            # scalar int32
     ray_count: jnp.ndarray         # scalar int32: total rays traced (primary+shadow)
     trav_steps: jnp.ndarray        # (2,) int32 [walk_steps, leaf_rounds] (primary rays)
-    slot: jnp.ndarray              # (R,) int32 original lane index (for unsorting)
-    pixel_index: jnp.ndarray       # (R,) uint32 (travels with the lane through sorts)
+    pixel_index: jnp.ndarray       # (R,) uint32
     sample_index: jnp.ndarray      # (R,) uint32
     origin: jnp.ndarray            # (R,3)
     direction: jnp.ndarray         # (R,3)
@@ -181,8 +153,6 @@ def make_bounce_step(
     dtype = tables.tri_v0.dtype
     eps = jnp.asarray(ray_offset_eps(dtype), dtype)
     K = cfg.ior_stack_size
-    if cfg.sort_rays:
-        bb_lo, bb_hi = scene_bounds(tables, meta)
 
     def step(st: PathState) -> PathState:
         base_ctx = sobol.make_ctx(cfg.global_seed, st.pixel_index, st.sample_index, dtype)
@@ -260,7 +230,6 @@ def make_bounce_step(
             bounce=st.bounce + 1,
             ray_count=ray_count,
             trav_steps=trav_steps,
-            slot=st.slot,
             pixel_index=st.pixel_index,
             sample_index=st.sample_index,
             origin=new_origin,
@@ -280,18 +249,6 @@ def make_bounce_step(
             prev_bsdf_pdf=b.pdf,
             prev_select_prob=prev_select_prob,
         )
-
-        if cfg.sort_rays:
-            # ---- coherence sort: alive lanes grouped by (octant, origin Morton),
-            # dead lanes pushed to the tail so whole blocks die together ----
-            key = coherence_key(new_origin, new_dir, bb_lo, bb_hi)
-            key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
-            perm = jnp.argsort(key)
-
-            def permute(x):
-                return x[perm] if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[:1] == (R,)) else x
-
-            nxt = jax.tree_util.tree_map(permute, nxt)
         return nxt
 
     return step
@@ -309,6 +266,7 @@ def trace(
     differentiable: bool = False,
     return_stats: bool = False,
     vary_axes: tuple = (),
+    remat: bool = True,
 ):
     """Trace a batch of camera rays to radiance. Returns (R,3) radiance.
 
@@ -317,6 +275,12 @@ def trace(
     JAX can reverse-differentiate. This is the detached-sampling path replay: the
     Sobol decisions are functions of integer indices only (zero gradient), so
     reverse mode flows through the continuous BSDF/pdf/throughput chain.
+
+    `remat=True` wraps the bounce body in `jax.checkpoint`, so the backward pass
+    stores only the PathState carry per bounce (~130 B/ray) and recomputes the
+    bounce internals (traversal, BSDF eval, NEE) on the way back. Without it the
+    64-bounce scan must keep every intermediate live and OOMs at production chunk
+    sizes; with it, chunk 2^17 x 64 bounces fits v5e HBM.
     """
     dtype = origin.dtype
     R = origin.shape[0]
@@ -334,7 +298,6 @@ def trace(
         bounce=jnp.asarray(0, jnp.int32),
         ray_count=jnp.sum(i0),
         trav_steps=jnp.zeros(2, jnp.int32) + jnp.sum(i0),
-        slot=i0 + jnp.arange(R, dtype=jnp.int32),
         pixel_index=pixel_index,
         sample_index=sample_index,
         origin=origin,
@@ -365,17 +328,20 @@ def trace(
         init = jax.tree_util.tree_map(_pvary, init)
 
     if differentiable:
-        final, _ = jax.lax.scan(lambda st, _: (step(st), None), init, None, length=cfg.max_bounces)
+        body = jax.checkpoint(step) if remat else step
+        final, _ = jax.lax.scan(lambda st, _: (body(st), None), init, None, length=cfg.max_bounces)
     else:
         def cond(st: PathState):
             return jnp.any(st.alive) & (st.bounce < cfg.max_bounces)
 
         final = jax.lax.while_loop(cond, step, init)
     radiance = final.radiance
-    if cfg.sort_rays:
-        # Undo the per-bounce coherence sorts: lane i of the output must be the
-        # radiance of input ray i (film splatting indexes by the original order).
-        radiance = jnp.zeros_like(radiance).at[final.slot].set(radiance)
     if return_stats:
-        return radiance, {"rays": final.ray_count, "traversal_steps": final.trav_steps}
+        stats = {"rays": final.ray_count}
+        if cfg.collect_traversal_stats:
+            # Only expose counters that were actually accumulated: with stats off
+            # the carry holds untouched zeros, which a consumer could mistake for
+            # a measured count (advisor r3).
+            stats["traversal_steps"] = final.trav_steps
+        return radiance, stats
     return radiance

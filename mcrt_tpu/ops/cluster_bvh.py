@@ -83,19 +83,20 @@ def upload_cluster_bvh(flat, scene, dtype=np.float32) -> ClusterBVH:
     e1 = scene.tri_e1
     e2 = scene.tri_e2
 
-    tri_id = np.full((C, S), -1, np.int32)
-    pv0 = np.zeros((C, S, 3))
-    pe1 = np.zeros((C, S, 3))
-    pe2 = np.zeros((C, S, 3))
-    center = np.zeros((C, 3))
-    for c, node in enumerate(leaf_ids):
-        f, n = flat.first[node], flat.count[node]
-        prims = flat.prim_order[f : f + n]
-        tri_id[c, :n] = prims
-        center[c] = 0.5 * (flat.bb_min[node] + flat.bb_max[node])
-        pv0[c, :n] = v0[prims] - center[c]
-        pe1[c, :n] = e1[prims]
-        pe2[c, :n] = e2[prims]
+    # Vectorized gather of each leaf's primitive slice into the (C, S) padded
+    # layout (the per-leaf Python loop this replaces took minutes at 10^6 tris).
+    first = flat.first[leaf_ids].astype(np.int64)           # (C,)
+    count = flat.count[leaf_ids].astype(np.int64)           # (C,)
+    col = np.arange(S, dtype=np.int64)[None, :]             # (1, S)
+    valid = col < count[:, None]                            # (C, S)
+    gidx = first[:, None] + np.minimum(col, np.maximum(count[:, None] - 1, 0))
+    prims = flat.prim_order[gidx]                           # (C, S) clamped gather
+    tri_id = np.where(valid, prims, -1).astype(np.int32)
+    center = 0.5 * (flat.bb_min[leaf_ids] + flat.bb_max[leaf_ids])
+    vmask = valid[..., None]
+    pv0 = np.where(vmask, v0[prims] - center[:, None, :], 0.0)
+    pe1 = np.where(vmask, e1[prims], 0.0)
+    pe2 = np.where(vmask, e2[prims], 0.0)
 
     feat = build_cluster_features(
         pv0.reshape(-1, 3), pe1.reshape(-1, 3), pe2.reshape(-1, 3), dtype
@@ -114,6 +115,41 @@ def upload_cluster_bvh(flat, scene, dtype=np.float32) -> ClusterBVH:
         cl_bb_min=jnp.asarray(flat.bb_min[leaf_ids], dtype),
         cl_bb_max=jnp.asarray(flat.bb_max[leaf_ids], dtype),
     )
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of x so there are 2 zero bits between each."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def coherence_key(origin, direction, bb_lo, bb_hi):
+    """Sort key grouping rays that start near each other and point the same way.
+
+    Layout (high→low): 3-bit direction octant | 27-bit Morton code of the origin
+    quantized to the scene bounds. This is the TPU analogue of the reference's
+    work-queue keeping threads busy on nearby buckets (work-queue.hpp:13-61): the
+    block-synchronous traversal is only efficient when the 256 rays of a block
+    share a frustum. Parked dead rays (origin ~2e30) clip to the far corner and
+    sort to the tail, so whole blocks of dead lanes skip the tree in one step.
+    """
+    octant = (
+        (direction[:, 0] < 0).astype(jnp.uint32)
+        + 2 * (direction[:, 1] < 0).astype(jnp.uint32)
+        + 4 * (direction[:, 2] < 0).astype(jnp.uint32)
+    )
+    q = jnp.clip((origin - bb_lo) / jnp.maximum(bb_hi - bb_lo, 1e-30), 0.0, 1.0)
+    cell = (q * 1023.0).astype(jnp.uint32)
+    morton = (
+        _part1by2(cell[:, 0])
+        | (_part1by2(cell[:, 1]) << 1)
+        | (_part1by2(cell[:, 2]) << 2)
+    )
+    return ((octant << 27) | (morton >> 3)).astype(jnp.int32)
 
 
 def _ray_features(o, d):
@@ -278,6 +314,7 @@ def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: i
 
 def make_intersect_fn(
     tables: SceneTables, meta: SceneMeta, cbvh: ClusterBVH, block: int = 256,
+    sort_rays: bool = True,
 ):
     """Scene intersect closure: cluster BVH for triangles + brute spheres/quadrics.
 
@@ -285,12 +322,32 @@ def make_intersect_fn(
     coherence-sorted rays it measures 267-420 M rays/s on v5e (chunk 2^16-2^17,
     tools/tpu_probe.py). A flat cull-and-sweep alternative was prototyped in
     round 2 and measured 10,000x slower (0.02 M rays/s) — deleted in round 3.
+
+    sort_rays: group rays into coherent blocks for the tree walk by Morton/octant
+    key INSIDE this wrapper — permute only (origin, direction) in, scatter the 4
+    hit fields back out. Round 3 instead permuted the whole ~22-array bounce
+    carry every bounce inside the integrator loop, whose temporary footprint
+    faulted the v5e chip at 2^18-ray dispatches (see README fault table); this
+    formulation keeps the carry in lane order and cured that fault (round 4,
+    tools/fault_probe.py: 2^18/2^19 now pass).
     """
 
     def intersect(origin, direction):
         dtype = origin.dtype
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-        best_t, best_id, u, v, steps = traverse(cbvh, origin, direction, block)
+        if sort_rays:
+            key = coherence_key(origin, direction, cbvh.bb_min[0], cbvh.bb_max[0])
+            perm = jnp.argsort(key)
+            t_s, id_s, u_s, v_s, steps = traverse(
+                cbvh, origin[perm], direction[perm], block
+            )
+            # Unsort with a gather through the inverse permutation (argsort of
+            # argsort) — NOT a scatter: a scatter inside the bounce while_loop
+            # trips an XLA TPU codegen cliff (12 s/dispatch at 2^16, round 4).
+            inv = jnp.argsort(perm)
+            best_t, best_id, u, v = t_s[inv], id_s[inv], u_s[inv], v_s[inv]
+        else:
+            best_t, best_id, u, v, steps = traverse(cbvh, origin, direction, block)
         best_uv = jnp.stack([u, v], axis=-1)
         # Re-evaluate the winner exactly (same gathered-triangle ops as the brute
         # path) so BVH and no-BVH renders produce bitwise-identical hits.

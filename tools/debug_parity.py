@@ -34,8 +34,8 @@ si = (lin * 0).astype(np.uint32)
 rays = cam_mod.generate_rays(cam, jnp.asarray(px), jnp.asarray(py), jnp.asarray(si),
                              tables.ior, 0, dtype)
 
-def run(intersect_fn, sort):
-    cfg = pt.PTConfig(sort_rays=sort)
+def run(intersect_fn):
+    cfg = pt.PTConfig()
     rad = pt.trace(tables, meta, cfg, rays.origin, rays.direction,
                    rays.pixel_index, rays.sample_index, intersect_fn=intersect_fn)
     return np.asarray(rad)
@@ -44,14 +44,14 @@ brute = None
 variants = {}
 for name, ifn in [
     ("brute", None),
-    ("walk", cluster_bvh.make_intersect_fn(tables, meta, dbvh)),
+    ("walk_nosort", cluster_bvh.make_intersect_fn(tables, meta, dbvh, sort_rays=False)),
+    ("walk_sort", cluster_bvh.make_intersect_fn(tables, meta, dbvh, sort_rays=True)),
 ]:
-    for sort in (False, True):
-        r = run(ifn, sort)
-        variants[(name, sort)] = r
-        print(name, "sort" if sort else "nosort", "mean", r.mean(), flush=True)
+    r = run(ifn)
+    variants[name] = r
+    print(name, "mean", r.mean(), flush=True)
 
-base = variants[("brute", False)]
+base = variants["brute"]
 for k, r in variants.items():
     d = np.abs(r - base)
     print(k, "maxdiff", d.max(), "meandiff", d.mean())

@@ -2,9 +2,10 @@
 
 Usage: python tools/fault_probe.py <mode> <log2_chunk>
   mode: full        whole path-tracing step (same as tpu_probe walk)
-        nosort      full step with cfg.sort_rays=False
+        nosort      full step with make_intersect_fn(sort_rays=False)
         traverse    cluster-BVH traversal only (primary rays, no bounce loop)
-        sortonly    argsort+gather of a PathState-sized pytree only
+        sortonly    argsort+gather of a PathState-sized pytree only (the round-3
+                    whole-carry permute design, kept as the fault repro)
 """
 from __future__ import annotations
 
@@ -58,13 +59,15 @@ def main():
     py = jnp.asarray(((idx // SIZE) % SIZE).astype(np.uint32))
     si = jnp.asarray((lin % spp).astype(np.uint32))
 
-    cfg = pt.PTConfig(sort_rays=(mode != "nosort"))
+    cfg = pt.PTConfig()
     rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
 
     if mode in ("full", "nosort"):
         @jax.jit
         def run(o, d, pix, sidx):
-            intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, dbvh)
+            intersect_fn = cluster_bvh.make_intersect_fn(
+                tables, meta, dbvh, sort_rays=(mode != "nosort")
+            )
             rad, stats = pt.trace(
                 tables, meta, cfg, o, d, pix, sidx,
                 return_stats=True, intersect_fn=intersect_fn,

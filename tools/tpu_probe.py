@@ -82,7 +82,8 @@ def main():
                 rays.sample_index, return_stats=True, intersect_fn=intersect_fn,
             )
             return (film_acc + film_mod.splat(film_cfg, rays.px, radiance),
-                    stats["rays"], stats["traversal_steps"])
+                    stats["rays"],
+                    stats.get("traversal_steps", jnp.zeros(2, jnp.int32)))
         return run_impl
 
     S = dbvh.tri_id.shape[1]
