@@ -109,7 +109,9 @@ def bench_ours():
     py0 = (idx0 // SIZE).astype(np.uint32)
     si0 = (np.arange(chunk) % spp).astype(np.uint32)
     f, rc, ts = run(jnp.asarray(px0), jnp.asarray(py0), jnp.asarray(si0), film)
-    f.block_until_ready()
+    float(jnp.sum(f))  # force real completion: block_until_ready does not block
+    # through the axon tunnel (round-4 finding — the round-3 headline numbers
+    # were enqueue rates, not execution rates)
 
     t0 = time.time()
     done = 0
@@ -126,7 +128,7 @@ def bench_ours():
         # serialize the pipeline being timed (round-1 verdict, weak #9)
         ray_counts.append(rc)
         done += chunk
-    film.block_until_ready()
+    float(jnp.sum(film))  # force completion of the whole pipeline inside the timer
     dt = time.time() - t0
     total_rays = int(sum(int(r) for r in ray_counts))
     # Diagnostic pass (stats on, small chunk): walk steps + dense-MXU rounds for
@@ -217,7 +219,6 @@ def bench_bwd(chunk_lg: int = 17, reps: int = 4):
 
     px, py, si = make_batch(0)
     (loss, rays0), grads = vag(params0, tables, dbvh, px, py, si)
-    jax.block_until_ready(grads)
     assert np.isfinite(float(loss)), "bwd loss not finite"
     for k, gv in grads.items():
         assert np.all(np.isfinite(np.asarray(gv))), f"non-finite grad for {k}"
@@ -229,7 +230,8 @@ def bench_bwd(chunk_lg: int = 17, reps: int = 4):
     for px, py, si in batches:
         (loss, rays), grads = vag(params0, tables, dbvh, px, py, si)
         rays_list.append(rays)
-    jax.block_until_ready(grads)
+    # Force real completion inside the timer (axon block_until_ready is a no-op).
+    float(jnp.sum(grads["mat_reflectance"]))
     dt = time.time() - t0
     total_rays = int(sum(int(r) for r in rays_list))
     return {

@@ -267,7 +267,10 @@ def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None,
     ci = jnp.clip(ci, 0, dimv - 1)
 
     arange_m = jnp.arange(M, dtype=jnp.int32)
-    kk = min(k, M)  # a single merge step sees at most M new candidates
+    # The one-ring can contribute up to 27*M candidates in total, so the running
+    # top-k width must be bounded by that — not by the single-cell cap M, which
+    # silently under-filled results when max cell occupancy < k (advisor r3).
+    kk = min(k, 27 * M)
     best_d2 = jnp.full((Q, kk), jnp.inf, dtype)
     best_ix = jnp.zeros((Q, kk), jnp.int32)
     best_w = jnp.ones((Q, kk), dtype)

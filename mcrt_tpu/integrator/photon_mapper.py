@@ -309,7 +309,13 @@ def _estimate(
     dtype = ix.position.dtype
     if grid.empty:
         return jnp.zeros_like(ix.position)
-    d2, idx, valid, w = pgrid.knn(grid, arrays, ix.position, k, mask=mask)
+    # exact=True: flagged queries (truncated cell touched / under-filled) are
+    # re-answered by the brute fallback, `lax.cond`-gated so clean batches pay
+    # nothing. Measured on caustic_sphere 64^2 (round 4): capped-only estimates
+    # track exact to 0.4% mean brightness but diverge up to ~40% on p99 pixels
+    # in sparse regions — the reference is exact at every density
+    # (linear-octree.cpp:25-117), so production estimates are too.
+    d2, idx, valid, w = pgrid.knn(grid, arrays, ix.position, k, mask=mask, exact=True)
     r2k = jnp.max(jnp.where(valid, d2, 0.0), axis=1)              # k-th (max) distance^2
     any_found = jnp.any(valid, axis=1)
 

@@ -46,8 +46,21 @@ class ClusterBVH(NamedTuple):
                                # forms stay small-magnitude (f32-safe)
     cl_bb_min: jnp.ndarray     # (C,3) leaf/cluster AABBs (flat culling sweep)
     cl_bb_max: jnp.ndarray     # (C,3)
+    # Exact 3-way bf16 split of the combined per-cluster value table
+    # [feat | tri_id | center] (C, 40S+S+3), for the one-hot MXU gather used by
+    # the best-first traversal (val0+val1+val2 reconstructs f32 exactly: the
+    # one-hot operand is 0/1 which bf16 represents exactly, so each pass is an
+    # exact partial sum). None when the tables are f64 (CPU tests use plain
+    # gathers instead).
+    val0: jnp.ndarray | None
+    val1: jnp.ndarray | None
+    val2: jnp.ndarray | None
     # (C and S are implied by tri_id.shape — keep this pytree arrays-only so it can
     # be passed straight through jit boundaries)
+
+
+# Cluster-count ceiling for the exact one-hot MXU gather (see upload_cluster_bvh).
+_ONEHOT_MAX_CLUSTERS = 2048
 
 
 def build_cluster_features(v0, e1, e2, dtype=np.float32):
@@ -104,6 +117,26 @@ def upload_cluster_bvh(flat, scene, dtype=np.float32) -> ClusterBVH:
     # (C, S, 10, 4) -> (C, 10, 4, S) -> (C, 10, 4S): output columns grouped by form
     feat = np.ascontiguousarray(feat.transpose(0, 2, 3, 1)).reshape(C, 10, 4 * S)
 
+    val0 = val1 = val2 = None
+    # One-hot matmul gather cost scales with C (B*C*F per pass): a win over the
+    # dynamic row gather up to ~2k clusters (measured v5e), a loss beyond. Large
+    # scenes (C > _ONEHOT_MAX_CLUSTERS) fall back to the plain gather path.
+    if np.dtype(dtype).itemsize == 4 and C <= _ONEHOT_MAX_CLUSTERS:
+        # Combined value table + exact 3-way bf16 split (8+8+8 mantissa bits
+        # covers the full f32 significand) for the one-hot MXU gather.
+        val = np.concatenate(
+            [feat.reshape(C, 40 * S), tri_id.astype(np.float32), center.astype(np.float32)],
+            axis=1,
+        ).astype(np.float32)
+        import ml_dtypes
+
+        c0 = val.astype(ml_dtypes.bfloat16)
+        r0 = val - c0.astype(np.float32)
+        c1 = r0.astype(ml_dtypes.bfloat16)
+        r1 = r0 - c1.astype(np.float32)
+        c2 = r1.astype(ml_dtypes.bfloat16)
+        val0, val1, val2 = (jnp.asarray(c) for c in (c0, c1, c2))
+
     return ClusterBVH(
         bb_min=jnp.asarray(flat.bb_min, dtype),
         bb_max=jnp.asarray(flat.bb_max, dtype),
@@ -114,6 +147,9 @@ def upload_cluster_bvh(flat, scene, dtype=np.float32) -> ClusterBVH:
         center=jnp.asarray(center, dtype),
         cl_bb_min=jnp.asarray(flat.bb_min[leaf_ids], dtype),
         cl_bb_max=jnp.asarray(flat.bb_max[leaf_ids], dtype),
+        val0=val0,
+        val1=val1,
+        val2=val2,
     )
 
 
@@ -130,12 +166,14 @@ def _part1by2(x):
 def coherence_key(origin, direction, bb_lo, bb_hi):
     """Sort key grouping rays that start near each other and point the same way.
 
-    Layout (high→low): 3-bit direction octant | 27-bit Morton code of the origin
-    quantized to the scene bounds. This is the TPU analogue of the reference's
-    work-queue keeping threads busy on nearby buckets (work-queue.hpp:13-61): the
-    block-synchronous traversal is only efficient when the 256 rays of a block
-    share a frustum. Parked dead rays (origin ~2e30) clip to the far corner and
-    sort to the tail, so whole blocks of dead lanes skip the tree in one step.
+    Layout (high→low): 3-bit direction octant | 18-bit origin Morton | 9-bit
+    direction Morton. This is the TPU analogue of the reference's work-queue
+    keeping threads busy on nearby buckets (work-queue.hpp:13-61): the blocked
+    traversal is only efficient when the rays of a block share a tight frustum.
+    The direction bits matter for pinhole camera rays, whose origins are all
+    identical — without them a block's frustum spans the whole view. Parked dead
+    rays (origin ~2e30) clip to the far corner and sort to the tail, so whole
+    blocks of dead lanes prune in one step.
     """
     octant = (
         (direction[:, 0] < 0).astype(jnp.uint32)
@@ -143,13 +181,20 @@ def coherence_key(origin, direction, bb_lo, bb_hi):
         + 4 * (direction[:, 2] < 0).astype(jnp.uint32)
     )
     q = jnp.clip((origin - bb_lo) / jnp.maximum(bb_hi - bb_lo, 1e-30), 0.0, 1.0)
-    cell = (q * 1023.0).astype(jnp.uint32)
-    morton = (
+    cell = (q * 63.0).astype(jnp.uint32)              # 6 bits/axis
+    om = (
         _part1by2(cell[:, 0])
         | (_part1by2(cell[:, 1]) << 1)
         | (_part1by2(cell[:, 2]) << 2)
     )
-    return ((octant << 27) | (morton >> 3)).astype(jnp.int32)
+    qd = jnp.clip((direction + 1.0) * 0.5, 0.0, 1.0)
+    dcell = (qd * 7.0).astype(jnp.uint32)             # 3 bits/axis
+    dm = (
+        _part1by2(dcell[:, 0])
+        | (_part1by2(dcell[:, 1]) << 1)
+        | (_part1by2(dcell[:, 2]) << 2)
+    )
+    return ((octant << 27) | (om << 9) | dm).astype(jnp.int32)
 
 
 def _ray_features(o, d):
@@ -208,7 +253,7 @@ def intersect_cluster(feat_c, tri_id_c, rayF, o, d, best_t, best_id, best_u, bes
     return new_t, new_id, new_u, new_v
 
 
-def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: int = 200_000):
+def traverse_walk(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: int = 200_000):
     """Block-synchronous while-while traversal of the cluster tree.
 
     Returns per-ray (t, tri_id, u, v, steps), tri_id = -1 on miss; steps is an
@@ -312,9 +357,171 @@ def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, max_steps: i
     )
 
 
+def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256):
+    """Dense-cull best-first traversal: few fat iterations, no tree walk.
+
+    The reference's per-ray priority-queue traversal (bvh.cpp:80-129) visits
+    leaves nearest-first with pruning. This is the same strategy vectorized per
+    block of K coherent rays, shaped for a runtime where loop iterations and
+    gathers carry multi-microsecond fixed costs (axon/TPU, measured round 4):
+
+      1. CULL: one dense conservative slab test of every block frustum (interval
+         arithmetic over the block's origin/direction bounds) against every
+         cluster AABB -> a (B, C) hit mask + entry-distance lower bound. No loop.
+      2. ORDER: lax.sort the (B, C) candidates by entry bound (best-first).
+      3. ROUNDS: one while_loop over candidate ranks; each iteration gathers the
+         rank-r cluster of every block with an exact one-hot MXU matmul (3 bf16
+         passes) and runs the dense Moller-Trumbore einsum. A block stops
+         contributing when its next candidate's entry bound exceeds the block's
+         worst best-t (per-ray pruning happens inside intersect_cluster).
+
+    Iteration count = max over blocks of surviving candidates (typically 5-30
+    for coherence-sorted rays) vs ~2000 tree-walk steps for the same workload.
+    Returns per-ray (t, tri_id, u, v, steps) with steps = [candidates, rounds].
+    """
+    dtype = origin.dtype
+    R = origin.shape[0]
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    K = min(block, R)
+    pad = (-R) % K
+    if pad:
+        origin = jnp.concatenate([origin, jnp.broadcast_to(origin[-1:], (pad, 3))], axis=0)
+        direction = jnp.concatenate([direction, jnp.broadcast_to(direction[-1:], (pad, 3))], axis=0)
+    B = origin.shape[0] // K
+    o = origin.reshape(B, K, 3)
+    d = direction.reshape(B, K, 3)
+
+    C, S = cbvh.tri_id.shape
+    F = 40 * S  # feat columns in the combined value table
+
+    # ---- 1. exact per-ray slab test vs every cluster AABB, tiled over C ----
+    # A block-interval (frustum) version of this test was tried first and is
+    # uselessly loose for shadow rays: the slab product's interval width is
+    # |offset| * direction_spread, so at distance ~60 a 0.07-wide direction cone
+    # passed ~700 of 826 clusters where the exact per-ray union is ~8 (round-4
+    # forensics). The exact test is pure dense VPU math — B*K*C*3 lanes, tiled
+    # so only a (B,K,CT) slice is ever live — and reduces per block to
+    # "any ray hits" + the block's nearest entry distance, which is all the
+    # round loop needs. Parked lanes (origin ~2e30, dead rays) produce t_near
+    # ~ -3e30 < 0 with t_far < 0 -> no hit, so they cull themselves exactly.
+    inv_d = 1.0 / d
+    o_id = o * inv_d
+    CT = min(128, C)
+    n_tiles = -(-C // CT)
+    Cpad = n_tiles * CT
+    pad_box = np.full((1, 3), np.inf, np.float32)
+    cl_lo = jnp.concatenate(
+        [cbvh.cl_bb_min] + [jnp.asarray(pad_box, dtype)] * (Cpad - C), axis=0
+    ) if Cpad > C else cbvh.cl_bb_min
+    cl_hi = jnp.concatenate(
+        [cbvh.cl_bb_max] + [jnp.asarray(pad_box, dtype)] * (Cpad - C), axis=0
+    ) if Cpad > C else cbvh.cl_bb_max
+
+    def cull_tile(i, carry):
+        hit_acc, tmin_acc = carry                      # (B,Cpad) bool / f32
+        lo = jax.lax.dynamic_slice_in_dim(cl_lo, i * CT, CT, 0)   # (CT,3)
+        hi = jax.lax.dynamic_slice_in_dim(cl_hi, i * CT, CT, 0)
+        # t = lo*inv_d - o*inv_d, per (block, ray, cluster, axis)
+        t1 = lo[None, None, :, :] * inv_d[:, :, None, :] - o_id[:, :, None, :]
+        t2 = hi[None, None, :, :] * inv_d[:, :, None, :] - o_id[:, :, None, :]
+        tn = jnp.max(jnp.minimum(t1, t2), axis=-1)     # (B,K,CT)
+        tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        h = (tn <= tf) & (tf >= 0.0)
+        in_range = (i * CT + jnp.arange(CT, dtype=jnp.int32)) < C
+        h = h & in_range[None, None, :]
+        any_h = jnp.any(h, axis=1)                     # (B,CT)
+        tn_min = jnp.min(jnp.where(h, tn, big), axis=1)
+        hit_acc = jax.lax.dynamic_update_slice_in_dim(hit_acc, any_h, i * CT, 1)
+        tmin_acc = jax.lax.dynamic_update_slice_in_dim(tmin_acc, tn_min, i * CT, 1)
+        return hit_acc, tmin_acc
+
+    hit, t_near_lb = jax.lax.fori_loop(
+        0, n_tiles, cull_tile,
+        (jnp.zeros((B, Cpad), bool), jnp.full((B, Cpad), big, dtype)),
+    )
+    hit = hit[:, :C]
+    t_near_lb = t_near_lb[:, :C]
+    n_candidates = jnp.sum(hit.astype(jnp.int32))
+    parked = jnp.max(jnp.abs(o), axis=-1) > jnp.asarray(1e28, dtype)   # (B,K)
+
+    # ---- 2. best-first order (sort keys + ids together: no gathers) ----
+    key = jnp.where(hit, t_near_lb, big)
+    ids = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
+    key_s, ids_s = jax.lax.sort((key, ids), dimension=1, num_keys=1)
+    key_t = key_s.T                                   # (C,B): row slice per round
+    ids_t = ids_s.T
+
+    iota_c = jnp.arange(C, dtype=jnp.int32)
+
+    class St(NamedTuple):
+        r: jnp.ndarray
+        best_t: jnp.ndarray
+        best_id: jnp.ndarray
+        best_u: jnp.ndarray
+        best_v: jnp.ndarray
+
+    def round_inputs(st: St):
+        tlb = jax.lax.dynamic_slice_in_dim(key_t, st.r, 1, 0)[0]   # (B,)
+        cl = jax.lax.dynamic_slice_in_dim(ids_t, st.r, 1, 0)[0]    # (B,)
+        # Parked lanes never find a hit; exclude their +inf best_t from the
+        # block's pruning demand or no block with a parked lane would ever stop.
+        demand = jnp.max(jnp.where(parked, 0.0, st.best_t), axis=1)
+        active = tlb < demand
+        return cl, active
+
+    def cond(st: St):
+        _, active = round_inputs(st)
+        return (st.r < C) & jnp.any(active)
+
+    def body(st: St):
+        cl, active = round_inputs(st)
+        if cbvh.val0 is not None:
+            # Exact one-hot MXU gather: 3 bf16 passes reconstruct f32.
+            oh = (cl[:, None] == iota_c[None, :]).astype(jnp.bfloat16)
+            mm = lambda v: jax.lax.dot_general(
+                oh, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            val = mm(cbvh.val0) + mm(cbvh.val1) + mm(cbvh.val2)
+            feat_c = val[:, :F].reshape(B, 10, 4 * S).astype(dtype)
+            tri_c = jnp.round(val[:, F : F + S]).astype(jnp.int32)
+            center_c = val[:, F + S :].astype(dtype)
+        else:
+            feat_c = cbvh.feat[cl]
+            tri_c = cbvh.tri_id[cl]
+            center_c = cbvh.center[cl]
+        tri_c = jnp.where(active[:, None], tri_c, -1)
+        o_local = o - center_c[:, None, :]
+        rayF_local = _ray_features(o_local, d)
+        bt, bid, bu, bv = intersect_cluster(
+            feat_c, tri_c, rayF_local, o, d, st.best_t, st.best_id, st.best_u, st.best_v,
+        )
+        return St(st.r + 1, bt, bid, bu, bv)
+
+    init = St(
+        r=jnp.asarray(0, jnp.int32),
+        best_t=o[..., 0] * 0 + big,
+        best_id=(o[..., 0] * 0).astype(jnp.int32) - 1,
+        best_u=o[..., 0] * 0,
+        best_v=o[..., 0] * 0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    flat = lambda x: x.reshape(-1)[:R]
+    return (
+        flat(final.best_t), flat(final.best_id), flat(final.best_u),
+        flat(final.best_v), jnp.stack([n_candidates, final.r]),
+    )
+
+
+def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, method: str = "bestfirst"):
+    if method == "walk":
+        return traverse_walk(cbvh, origin, direction, block)
+    return traverse_bestfirst(cbvh, origin, direction, block)
+
+
 def make_intersect_fn(
     tables: SceneTables, meta: SceneMeta, cbvh: ClusterBVH, block: int = 256,
-    sort_rays: bool = True,
+    sort_rays: bool = True, method: str = "bestfirst",
 ):
     """Scene intersect closure: cluster BVH for triangles + brute spheres/quadrics.
 
@@ -335,11 +542,17 @@ def make_intersect_fn(
     def intersect(origin, direction):
         dtype = origin.dtype
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        # The traversal is DISCRETE (which triangle wins) — its while_loop is not
+        # reverse-differentiable and must not be: gradients flow through
+        # refine_tri_hit below, which re-evaluates the winning triangle's (t,u,v)
+        # differentiably from the real (origin, direction). Detach the loop.
+        sg_o = jax.lax.stop_gradient(origin)
+        sg_d = jax.lax.stop_gradient(direction)
         if sort_rays:
-            key = coherence_key(origin, direction, cbvh.bb_min[0], cbvh.bb_max[0])
+            key = coherence_key(sg_o, sg_d, cbvh.bb_min[0], cbvh.bb_max[0])
             perm = jnp.argsort(key)
             t_s, id_s, u_s, v_s, steps = traverse(
-                cbvh, origin[perm], direction[perm], block
+                cbvh, sg_o[perm], sg_d[perm], block, method=method
             )
             # Unsort with a gather through the inverse permutation (argsort of
             # argsort) — NOT a scatter: a scatter inside the bounce while_loop
@@ -347,7 +560,7 @@ def make_intersect_fn(
             inv = jnp.argsort(perm)
             best_t, best_id, u, v = t_s[inv], id_s[inv], u_s[inv], v_s[inv]
         else:
-            best_t, best_id, u, v, steps = traverse(cbvh, origin, direction, block)
+            best_t, best_id, u, v, steps = traverse(cbvh, sg_o, sg_d, block, method=method)
         best_uv = jnp.stack([u, v], axis=-1)
         # Re-evaluate the winner exactly (same gathered-triangle ops as the brute
         # path) so BVH and no-BVH renders produce bitwise-identical hits.

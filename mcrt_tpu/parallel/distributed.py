@@ -121,15 +121,20 @@ def render_distributed(
     with mesh:
         while done < total:
             n = min(chunk, total - done)
-            n = (n // n_dev) * n_dev
-            if n == 0:
-                break
-            # This process's slice of the global [done, done+n) range
-            start, per = process_shard(n)
+            # Pad the tail up to a multiple of the device count with masked lanes
+            # (out-of-frame pixel coords -> zero splat weight) instead of rounding
+            # down, which silently dropped the last < n_dev samples (advisor r3).
+            n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+            # This process's slice of the global [done, done+n_pad) range
+            start, per = process_shard(n_pad)
             lin = np.arange(done + start, done + start + per, dtype=np.int64)
+            pad_lane = lin >= total
+            lin = np.minimum(lin, total - 1)
             idx = lin // spp
             px_l = (idx % cam.width).astype(np.uint32)
             py_l = ((idx // cam.width) % cam.height).astype(np.uint32)
+            # Out-of-frame x puts every filter tap outside the film => weight 0.
+            px_l = np.where(pad_lane, np.uint32(cam.width + 8), px_l)
             si_l = (lin % spp).astype(np.uint32)
             to_global = lambda a: multihost_utils.host_local_array_to_global_array(
                 jnp.asarray(a), mesh, P(axis)

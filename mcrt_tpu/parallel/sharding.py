@@ -53,19 +53,33 @@ def sharded_render_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype
     return jax.jit(sharded)
 
 
+# Material tables a training step differentiates by default: the same four
+# parameters the single-device finite-difference tests cover (tests/test_grad.py).
+DEFAULT_TRAIN_PARAMS = (
+    "mat_reflectance", "mat_specular_roughness", "mat_ior", "mat_transparency",
+)
+
+
 def sharded_train_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype):
     """Differentiable render step: returns jitted fn
-    (tables, mat_reflectance, px, py, si, target) -> (loss, grad_reflectance).
+    (tables, params, px, py, si, target) -> (loss, grads) where `params` is a
+    pytree (dict) of material tables — any subset of SceneTables' mat_* fields,
+    e.g. {k: getattr(tables, k) for k in DEFAULT_TRAIN_PARAMS} — and `grads`
+    mirrors its structure.
 
     This is the renderer-shaped "training step": pixel L2 loss against a target
     image, reverse-mode gradient w.r.t. material parameters via detached-sampling
     path replay, gradients psum-reduced over ICI (the analogue of gradient
-    all-reduce in data-parallel training).
+    all-reduce in data-parallel training). Backwards compatibility: passing a
+    bare array differentiates mat_reflectance only, as in rounds 2-3.
     """
     axis = mesh.axis_names[0]
 
-    def loss_fn(mat_reflectance, tables, px, py, si, target):
-        t = tables._replace(mat_reflectance=mat_reflectance)
+    def loss_fn(params, tables, px, py, si, target):
+        if isinstance(params, dict):
+            t = tables._replace(**params)
+        else:
+            t = tables._replace(mat_reflectance=params)
         rays = cam_mod.generate_rays(cam, px, py, si, t.ior, cfg.global_seed, dtype)
         radiance = pt.trace(
             t, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index,
@@ -76,8 +90,8 @@ def sharded_train_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype)
         img = film_mod.scan(acc)
         return jnp.mean((img - target) ** 2)
 
-    def step(tables, mat_reflectance, px, py, si, target):
-        loss, grad = jax.value_and_grad(loss_fn)(mat_reflectance, tables, px, py, si, target)
+    def step(tables, params, px, py, si, target):
+        loss, grad = jax.value_and_grad(loss_fn)(params, tables, px, py, si, target)
         # loss/grad computed from psum'd film are already replica-identical.
         return loss, grad
 

@@ -22,11 +22,14 @@ from .integrator import path_tracer as pt
 from .scene.loader import CameraDef, Scene
 
 
-# Largest per-dispatch ray count validated on real TPU hardware (v5e). 2^18
-# reproducibly kills the chip with a kernel fault when the per-bounce coherence
-# sort runs inside the bounce loop (bisected round 3; see bench.py and
-# tools/fault_probe.py). render() refuses to dispatch beyond this envelope.
-MAX_VALIDATED_RAYS_PER_CHUNK = 1 << 17
+# Largest per-dispatch ray count validated on real TPU hardware (v5e). The
+# round-3 whole-carry coherence sort faulted the chip at 2^18; round 4 replaced
+# that design (sort lives in the intersect wrapper, traversal is the dense
+# best-first formulation) and re-validated 2^18 dispatches on v5e (see
+# tools/fault_probe.py). render() refuses to dispatch beyond this envelope on
+# TPU backends only (CPU/GPU are unaffected — advisor r3); set
+# MCRT_UNVALIDATED_CHUNKS=1 to override on unvalidated hardware.
+MAX_VALIDATED_RAYS_PER_CHUNK = 1 << 18
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,11 +95,14 @@ def build_device_bvh(scene: Scene, tables, dtype):
     return scene.build_cluster_bvh(np.dtype(dtype))
 
 
-def _ckpt_key(cfg: RenderConfig, cam, spp: int) -> str:
-    """Fingerprint of everything that must match for a checkpoint to be resumable."""
+def _ckpt_key(cfg: RenderConfig, cam, spp: int, scene_hash: str) -> str:
+    """Fingerprint of everything that must match for a checkpoint to be resumable.
+    scene_hash covers the scene JSON + loaded geometry: editing a scene (move a
+    light, change a material) invalidates old checkpoints instead of silently
+    resuming them (advisor r3)."""
     return (
         f"{cam.width}x{cam.height}_spp{spp}_b{cfg.max_bounces}_s{cfg.global_seed}"
-        f"_c{cfg.rays_per_chunk}_{cfg.integrator}_{cfg.dtype}"
+        f"_c{cfg.rays_per_chunk}_{cfg.integrator}_{cfg.dtype}_{scene_hash}"
     )
 
 
@@ -115,14 +121,18 @@ def render(
     render loses everything, camera.cpp:170-181). A matching checkpoint is resumed
     automatically; a mismatched one (different resolution/spp/seed/...) is ignored.
     """
+    import os as _os
+
     if (
         cfg.rays_per_chunk > MAX_VALIDATED_RAYS_PER_CHUNK
-        and any(d.platform != "cpu" for d in jax.devices())
+        and any(d.platform in ("tpu", "axon") for d in jax.devices())
+        and not _os.environ.get("MCRT_UNVALIDATED_CHUNKS")
     ):
         raise ValueError(
             f"rays_per_chunk={cfg.rays_per_chunk} exceeds the TPU-validated envelope "
-            f"({MAX_VALIDATED_RAYS_PER_CHUNK}); 2^18-ray dispatches fault the chip "
-            "(see render.MAX_VALIDATED_RAYS_PER_CHUNK)."
+            f"({MAX_VALIDATED_RAYS_PER_CHUNK}); larger dispatches are unvalidated on "
+            "this chip generation (render.MAX_VALIDATED_RAYS_PER_CHUNK; set "
+            "MCRT_UNVALIDATED_CHUNKS=1 to override)."
         )
     dtype = jnp.dtype(cfg.dtype).type
     cam = scene.cameras[camera_idx]
@@ -157,7 +167,8 @@ def render(
             from .accel import photon_grid as _pg
 
             key = hashlib.sha1(
-                repr((pmcfg, cam.width, cam.height, meta, cfg.dtype)).encode()
+                repr((pmcfg, cam.width, cam.height, meta, cfg.dtype,
+                      scene.content_hash())).encode()
             ).hexdigest()[:16]
             pm_dir = _pl.Path(checkpoint_dir)
             pm_dir.mkdir(parents=True, exist_ok=True)
@@ -208,7 +219,7 @@ def render(
         if ckpt_path.exists():
             try:
                 z = np.load(ckpt_path)
-                if str(z["key"]) == _ckpt_key(cfg, cam, spp) and int(z["done"]) <= total:
+                if str(z["key"]) == _ckpt_key(cfg, cam, spp, scene.content_hash()) and int(z["done"]) <= total:
                     film_acc = jnp.asarray(z["film"], dtype)
                     done = int(z["done"])
                     if verbose:
@@ -225,7 +236,7 @@ def render(
             return
         tmp = ckpt_path.with_suffix(".tmp.npz")
         np.savez(tmp, film=np.asarray(jax.device_get(film_acc)), done=done,
-                 key=_ckpt_key(cfg, cam, spp))
+                 key=_ckpt_key(cfg, cam, spp, scene.content_hash()))
         tmp.replace(ckpt_path)  # atomic on POSIX
 
     # Live throughput telemetry (reference progress thread, camera.cpp:183-226):

@@ -543,6 +543,24 @@ class Scene:
         self.materials = self._materials
 
     # ------------------------------------------------------------------
+    def content_hash(self) -> str:
+        """Fingerprint of everything that determines the rendered image: the full
+        scene JSON (materials, lights, transforms, camera blocks) plus the loaded
+        triangle geometry (OBJ content is not visible in the JSON). Folded into
+        film/photon checkpoint keys so editing a scene invalidates stale
+        checkpoints instead of silently resuming them (advisor r3)."""
+        cached = getattr(self, "_content_hash", None)
+        if cached is None:
+            import hashlib
+
+            h = hashlib.sha1()
+            h.update(json.dumps(self.json, sort_keys=True, default=str).encode())
+            h.update(np.ascontiguousarray(self.tri_v0).tobytes())
+            h.update(np.ascontiguousarray(self.tri_e1).tobytes())
+            h.update(np.ascontiguousarray(self.tri_e2).tobytes())
+            cached = self._content_hash = h.hexdigest()[:16]
+        return cached
+
     def tri_bounds(self):
         """World AABBs of all triangles: (mins (T,3), maxs (T,3))."""
         v1 = self.tri_v0 + self.tri_e1

@@ -64,7 +64,8 @@ def test_render_with_bvh_matches_without(tmp_path):
 
 
 @pytest.mark.parametrize("kind", ["binary_sah", "quaternary_sah", "octree"])
-def test_cluster_bvh_matches_brute_force(kind):
+@pytest.mark.parametrize("method", ["walk", "bestfirst"])
+def test_cluster_bvh_matches_brute_force(kind, method):
     """MXU-dense cluster intersection parity with brute-force Moller-Trumbore,
     for each of the three builders (reference bvh.cpp:24-56 variants)."""
     import jax.numpy as jnp
@@ -89,7 +90,7 @@ def test_cluster_bvh_matches_brute_force(kind):
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     direction = jnp.asarray(d)
 
-    bt, bid, bu, bv, steps = cluster_bvh.traverse(cbvh, origin, direction, block=64)
+    bt, bid, bu, bv, steps = cluster_bvh.traverse(cbvh, origin, direction, block=64, method=method)
     assert int(steps[0]) > 0 and int(steps[1]) > 0
 
     tt, u, v, valid = isect.intersect_tris_block(
@@ -125,3 +126,45 @@ def test_render_with_cluster_bvh_matches_brute(tmp_path):
     img_bvh = render(s_bvh, 0, cfg)
     img_brute = render(s_brute, 0, cfg)
     np.testing.assert_allclose(img_bvh, img_brute, rtol=2e-3, atol=2e-3)
+
+
+def test_bestfirst_onehot_gather_path_f32():
+    """The f32 upload carries the 3-way bf16 split tables (val0/1/2) and the
+    best-first traversal gathers clusters through exact one-hot matmuls; this
+    pins that path (incl. the bf16 reconstruction) against the walk traversal
+    and the plain-gather path."""
+    import jax.numpy as jnp
+    from mcrt_tpu.accel.bvh_build import build_bvh
+    from mcrt_tpu.ops import cluster_bvh
+
+    v0, e1, e2 = _random_tris(900, 11)
+    mins, maxs = _bounds(v0, e1, e2)
+    flat = build_bvh(mins, maxs, kind="binary_sah", max_leaf=32, strict_leaf=True)
+
+    class _S:
+        pass
+
+    sc = _S()
+    sc.tri_v0, sc.tri_e1, sc.tri_e2 = v0, e1, e2
+    cbvh = cluster_bvh.upload_cluster_bvh(flat, sc, np.float32)
+    assert cbvh.val0 is not None and cbvh.val0.dtype == jnp.bfloat16
+    # Exact reconstruction: val0+val1+val2 == combined f32 table
+    C, S = cbvh.tri_id.shape
+    rec = (cbvh.val0.astype(np.float32) + cbvh.val1.astype(np.float32)
+           + cbvh.val2.astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(rec[:, : 40 * S]), np.asarray(cbvh.feat.reshape(C, 40 * S)))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.round(rec[:, 40 * S : 40 * S + S]).astype(np.int32)),
+        np.asarray(cbvh.tri_id))
+
+    rng = np.random.RandomState(3)
+    origin = jnp.asarray(rng.randn(512, 3).astype(np.float32) * 20)
+    d = rng.randn(512, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    direction = jnp.asarray(d)
+    bf = cluster_bvh.traverse(cbvh, origin, direction, block=64, method="bestfirst")
+    wk = cluster_bvh.traverse(cbvh, origin, direction, block=64, method="walk")
+    np.testing.assert_array_equal(np.asarray(bf[1]), np.asarray(wk[1]))
+    hit = np.asarray(bf[1]) >= 0
+    np.testing.assert_allclose(np.asarray(bf[0])[hit], np.asarray(wk[0])[hit], rtol=1e-6)

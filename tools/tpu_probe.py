@@ -2,8 +2,11 @@
 
 Usage: python tools/tpu_probe.py [log2_chunk ...]
 
-Pixels are strided across the whole image so every chunk sees a representative
-mix of geometry and sky (a contiguous prefix would only cover the top rows).
+Pixels are laid out CONTIGUOUSLY (pixel-major, like the production render loop):
+round 4 established that strided sampling destroys block coherence for pinhole
+cameras (every block frustum spans the whole view) and probes a workload the
+renderer never runs. Timing forces a value fetch — block_until_ready does not
+block through the axon tunnel.
 """
 from __future__ import annotations
 
@@ -95,7 +98,7 @@ def main():
     import dataclasses as _dc
     run_diag = make_run(_dc.replace(cfg, collect_traversal_stats=True))
     dchunk = 1 << 15
-    lin = (np.arange(dchunk, dtype=np.int64) * 2654435761) % (n_pix * spp)
+    lin = np.arange(dchunk, dtype=np.int64)
     idx = lin // spp
     pxd = jnp.asarray((idx % SIZE).astype(np.uint32))
     pyd = jnp.asarray(((idx // SIZE) % SIZE).astype(np.uint32))
@@ -110,21 +113,20 @@ def main():
     for lg in sizes:
         chunk = 1 << lg
         film = jnp.zeros((SIZE, SIZE, 4), dtype)
-        # golden-ratio stride scatters samples over the full image
-        lin = (np.arange(chunk, dtype=np.int64) * 2654435761) % (n_pix * spp)
+        lin = np.arange(chunk, dtype=np.int64)
         idx = lin // spp
         px = (idx % SIZE).astype(np.uint32)
         py = ((idx // SIZE) % SIZE).astype(np.uint32)
         si = (lin % spp).astype(np.uint32)
         t0 = time.time()
         f, rc, ts = run_impl(tables, dbvh, jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
-        f.block_until_ready()
+        float(jnp.sum(f))
         compile_s = time.time() - t0
         reps = 3
         t0 = time.time()
         for _ in range(reps):
             f, rc, ts = run_impl(tables, dbvh, jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film)
-        f.block_until_ready()
+        float(jnp.sum(f))  # force completion (axon block_until_ready is a no-op)
         dt = (time.time() - t0) / reps
         rays = int(rc)
         # Scale the diagnostic counters by the measured ray ratio.
