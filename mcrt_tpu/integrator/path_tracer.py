@@ -86,9 +86,13 @@ def scene_bounds(tables: SceneTables, meta: SceneMeta):
 
 
 class PathState(NamedTuple):
-    bounce: jnp.ndarray            # scalar int32
+    bounce: jnp.ndarray            # (R,) int32 — per-lane: under regeneration each
+                                   # lane streams several paths at different depths
     ray_count: jnp.ndarray         # scalar int32: total rays traced (primary+shadow)
     trav_steps: jnp.ndarray        # (2,) int32 [walk_steps, leaf_rounds] (primary rays)
+    path_id: jnp.ndarray           # (R,) int32 local path index (regen; else iota)
+    next_path: jnp.ndarray         # scalar int32: next unassigned path (regen)
+    out_rad: jnp.ndarray           # (N+1,3) finished-path radiance (regen; else (1,3))
     pixel_index: jnp.ndarray       # (R,) uint32
     sample_index: jnp.ndarray      # (R,) uint32
     origin: jnp.ndarray            # (R,3)
@@ -143,11 +147,25 @@ def _sample_light_position(tables: SceneTables, light_idx, u, v):
     return pos, normal
 
 
+class RegenCfg(NamedTuple):
+    """Path-regeneration parameters (persistent wavefront): dead lanes pull the
+    next unassigned (pixel, sample) pair instead of idling until the whole
+    dispatch drains — the TPU analogue of persistent-threads path regeneration.
+    Without it, dense per-bounce work is paid for every lane while the live
+    fraction decays (~18% average lane utilization at 16 spp measured round 4)."""
+    cam: object          # CameraDef (static)
+    width: int           # image width (static)
+    spp: int             # samples per pixel (static)
+    start: jnp.ndarray   # scalar int32: global path index of local path 0
+    n_paths: int         # static: paths this dispatch streams (out_rad rows - 1)
+
+
 def make_bounce_step(
     tables: SceneTables,
     meta: SceneMeta,
     cfg: PTConfig,
     intersect_fn: Callable,
+    regen: RegenCfg | None = None,
 ):
     """Builds the single-bounce transition function over PathState."""
     dtype = tables.tri_v0.dtype
@@ -209,8 +227,14 @@ def make_bounce_step(
         apply_rr = (diffuse_depth > cfg.min_ray_depth) | (new_depth > cfg.min_priority_ray_depth)
         survive_c = jnp.minimum(jnp.asarray(0.95, dtype), survive)
         rr_kill = apply_rr & (survive_c <= u_abs)
+        rr_boost = apply_rr & ~rr_kill
+        # Double-where the divisor: on untaken lanes survive_c can be ~0 and the
+        # untaken branch's 1/s partial overflows to inf, turning those lanes'
+        # zero cotangents into NaN for every upstream parameter (bisected round
+        # 4 — this was the mb>=10 NaN in spaceship material gradients).
+        rr_div = jnp.where(rr_boost, survive_c, 1.0)
         throughput = jnp.where(
-            (apply_rr & ~rr_kill)[:, None], throughput / bsdf._safe(survive_c)[:, None], throughput
+            rr_boost[:, None], throughput / rr_div[:, None], throughput
         )
         alive = alive & (survive > 0.0) & ~rr_kill
 
@@ -223,21 +247,87 @@ def make_bounce_step(
         # blocks full of dead rays exit in one step instead of walking the tree ----
         park_o = jnp.asarray([PARK_DISTANCE] * 3, dtype)
         park_d = jnp.asarray([0.57735026, 0.57735026, 0.57735026], dtype)
-        new_origin = jnp.where(alive[:, None], b.new_origin, park_o)
-        new_dir = jnp.where(alive[:, None], b.new_dir, park_d)
+
+        bounce = st.bounce + 1
+        pixel_index = st.pixel_index
+        sample_index = st.sample_index
+        path_id = st.path_id
+        next_path = st.next_path
+        out_rad = st.out_rad
+        medium_ior = b.new_medium
+        ray_dirac = b.dirac_next
+        ray_refraction = b.did_refract
+
+        if regen is not None:
+            # ---- path regeneration (persistent wavefront) ----
+            # Lanes at the depth cap die here so their radiance is finalized.
+            alive = alive & (bounce < cfg.max_bounces)
+            died_now = st.alive & ~alive
+            # 1. finalize: write dead paths' radiance to the output buffer
+            # (row n_paths is a trash row for lanes that did not die).
+            slot = jnp.where(died_now, path_id, regen.n_paths)
+            out_rad = out_rad.at[slot].add(
+                jnp.where(died_now[:, None], radiance, 0.0), mode="drop"
+            )
+            # 2. reload: dead lanes pull the next unassigned paths in order.
+            rank = jnp.cumsum(died_now.astype(jnp.int32)) - died_now.astype(jnp.int32)
+            new_local = (next_path + rank).astype(jnp.int32)
+            has_new = died_now & (new_local < regen.n_paths)
+            lin = regen.start + jnp.minimum(new_local, regen.n_paths - 1)
+            pix = (lin // regen.spp).astype(jnp.uint32)
+            npx = pix % jnp.uint32(regen.width)
+            npy = pix // jnp.uint32(regen.width)
+            nsi = (lin % regen.spp).astype(jnp.uint32)
+            from ..camera import camera as cam_mod
+
+            fresh = cam_mod.generate_rays(
+                regen.cam, npx, npy, nsi, None, cfg.global_seed, dtype
+            )
+            sel = has_new[:, None]
+            alive = alive | has_new
+            new_origin = jnp.where(sel, fresh.origin,
+                                   jnp.where(alive[:, None], b.new_origin, park_o))
+            new_dir = jnp.where(sel, fresh.direction,
+                                jnp.where(alive[:, None], b.new_dir, park_d))
+            scene_ior = tables.ior.astype(dtype)
+            bounce = jnp.where(has_new, 0, bounce)
+            pixel_index = jnp.where(has_new, fresh.pixel_index, pixel_index)
+            sample_index = jnp.where(has_new, fresh.sample_index, sample_index)
+            path_id = jnp.where(has_new, new_local, path_id)
+            next_path = next_path + jnp.sum(died_now.astype(jnp.int32))
+            medium_ior = jnp.where(has_new, scene_ior, medium_ior)
+            new_refr_scale = jnp.where(has_new, 1.0, new_refr_scale)
+            ray_dirac = jnp.where(has_new, False, ray_dirac)
+            ray_refraction = jnp.where(has_new, False, ray_refraction)
+            diffuse_depth = jnp.where(has_new, 0, diffuse_depth)
+            new_level = jnp.where(has_new, 0, new_level)
+            iors = jnp.where(sel, scene_ior, iors)
+            ior_count = jnp.where(has_new, 1, ior_count)
+            throughput = jnp.where(sel, 1.0, throughput)
+            radiance = jnp.where(sel, 0.0, radiance)
+            prev_light = jnp.where(has_new, -1, prev_light)
+            b_pdf = jnp.where(has_new, 0.0, b.pdf)
+            prev_select_prob = jnp.where(has_new, 1.0, prev_select_prob)
+        else:
+            new_origin = jnp.where(alive[:, None], b.new_origin, park_o)
+            new_dir = jnp.where(alive[:, None], b.new_dir, park_d)
+            b_pdf = b.pdf
 
         nxt = PathState(
-            bounce=st.bounce + 1,
+            bounce=bounce,
             ray_count=ray_count,
             trav_steps=trav_steps,
-            pixel_index=st.pixel_index,
-            sample_index=st.sample_index,
+            path_id=path_id,
+            next_path=next_path,
+            out_rad=out_rad,
+            pixel_index=pixel_index,
+            sample_index=sample_index,
             origin=new_origin,
             direction=new_dir,
-            medium_ior=b.new_medium,
+            medium_ior=medium_ior,
             refraction_scale=new_refr_scale,
-            ray_dirac=b.dirac_next,
-            ray_refraction=b.did_refract,
+            ray_dirac=ray_dirac,
+            ray_refraction=ray_refraction,
             diffuse_depth=diffuse_depth,
             refraction_level=new_level,
             iors=iors,
@@ -246,7 +336,7 @@ def make_bounce_step(
             radiance=radiance,
             alive=alive,
             prev_light=prev_light,
-            prev_bsdf_pdf=b.pdf,
+            prev_bsdf_pdf=b_pdf,
             prev_select_prob=prev_select_prob,
         )
         return nxt
@@ -295,9 +385,12 @@ def trace(
     i0 = (pixel_index * 0).astype(jnp.int32)   # (R,) int zeros, varying
     b_false = i0 != 0                          # (R,) False, varying
     init = PathState(
-        bounce=jnp.asarray(0, jnp.int32),
+        bounce=i0,
         ray_count=jnp.sum(i0),
         trav_steps=jnp.zeros(2, jnp.int32) + jnp.sum(i0),
+        path_id=i0 + jnp.arange(R, dtype=jnp.int32),
+        next_path=jnp.sum(i0) + R,
+        out_rad=jnp.zeros((1, 3), dtype) + jnp.sum(f0),
         pixel_index=pixel_index,
         sample_index=sample_index,
         origin=origin,
@@ -332,7 +425,7 @@ def trace(
         final, _ = jax.lax.scan(lambda st, _: (body(st), None), init, None, length=cfg.max_bounces)
     else:
         def cond(st: PathState):
-            return jnp.any(st.alive) & (st.bounce < cfg.max_bounces)
+            return jnp.any(st.alive) & (jnp.min(st.bounce) < cfg.max_bounces)
 
         final = jax.lax.while_loop(cond, step, init)
     radiance = final.radiance
@@ -345,3 +438,83 @@ def trace(
             stats["traversal_steps"] = final.trav_steps
         return radiance, stats
     return radiance
+
+
+def trace_streamed(
+    tables: SceneTables,
+    meta: SceneMeta,
+    cfg: PTConfig,
+    cam,
+    spp: int,
+    start,
+    n_paths: int,
+    lanes: int,
+    intersect_fn: Callable | None = None,
+):
+    """Persistent-wavefront trace: `lanes` device lanes stream `n_paths` camera
+    paths (global indices [start, start+n_paths), pixel-major x sample-minor as
+    in render()). A lane whose path terminates writes its radiance to the output
+    buffer and immediately loads the next unassigned path, so lane utilization
+    stays near 100% instead of decaying with the live fraction (the reference
+    gets the same effect from threads pulling buckets off the work queue,
+    camera.cpp:101-136). Returns (radiance (n_paths, 3), rays traced).
+
+    Forward-only (the differentiable path uses trace()'s fixed-trip scan).
+    """
+    from ..camera import camera as cam_mod
+
+    dtype = tables.tri_v0.dtype
+    if intersect_fn is None:
+        intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
+
+    start = jnp.asarray(start, jnp.int32)
+    regen = RegenCfg(cam=cam, width=cam.width, spp=spp, start=start, n_paths=n_paths)
+    step = make_bounce_step(tables, meta, cfg, intersect_fn, regen=regen)
+
+    L = lanes
+    local0 = jnp.arange(L, dtype=jnp.int32)
+    live0 = local0 < n_paths
+    lin0 = start + jnp.minimum(local0, n_paths - 1)
+    pix0 = (lin0 // spp).astype(jnp.uint32)
+    first = cam_mod.generate_rays(
+        cam, pix0 % jnp.uint32(cam.width), pix0 // jnp.uint32(cam.width),
+        (lin0 % spp).astype(jnp.uint32), None, cfg.global_seed, dtype,
+    )
+    park_o = jnp.asarray([PARK_DISTANCE] * 3, dtype)
+    f0 = jnp.zeros((L,), dtype)
+    i0 = jnp.zeros((L,), jnp.int32)
+    init = PathState(
+        bounce=i0,
+        # jnp.sum(int32) follows numpy promotion (int64 under x64-enabled CPU
+        # tests), and the step adds sums into these — init through the same op
+        # so carry dtypes match on every platform.
+        ray_count=jnp.sum(i0),
+        trav_steps=jnp.zeros(2, jnp.int32) + jnp.sum(i0),
+        path_id=local0,
+        next_path=jnp.sum(i0) + min(L, n_paths),
+        out_rad=jnp.zeros((n_paths + 1, 3), dtype),
+        pixel_index=first.pixel_index,
+        sample_index=first.sample_index,
+        origin=jnp.where(live0[:, None], first.origin, park_o),
+        direction=first.direction,
+        medium_ior=f0 + tables.ior.astype(dtype),
+        refraction_scale=f0 + 1.0,
+        ray_dirac=i0 != 0,
+        ray_refraction=i0 != 0,
+        diffuse_depth=i0,
+        refraction_level=i0,
+        iors=(f0 + tables.ior.astype(dtype))[:, None] * jnp.ones((1, cfg.ior_stack_size), dtype),
+        ior_count=i0 + 1,
+        throughput=jnp.ones((L, 3), dtype),
+        radiance=jnp.zeros((L, 3), dtype),
+        alive=live0,
+        prev_light=i0 - 1,
+        prev_bsdf_pdf=f0,
+        prev_select_prob=f0 + 1.0,
+    )
+
+    def cond(st: PathState):
+        return jnp.any(st.alive)
+
+    final = jax.lax.while_loop(cond, step, init)
+    return final.out_rad[:n_paths], final.ray_count

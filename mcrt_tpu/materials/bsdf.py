@@ -94,7 +94,10 @@ def fresnel_dielectric(n1, n2, cos_theta):
 def fresnel_conductor(n1, eta_real, eta_imag, cos_theta):
     """Per-channel conductor Fresnel with complex IOR (reference fresnel.cpp:30-49).
     n1: (R,), eta_*: (R,3), cos_theta: (R,). Returns (R,3)."""
-    ct = cos_theta[..., None]
+    # Clamp into the physical range: cos_theta arrives from dot products and can
+    # exceed 1 by an ulp, making sin2 negative — then t3 + t4 below can cross
+    # zero and the quotient rule's 1/(t3+t4)^2 partial turns inf/NaN (round 4).
+    ct = jnp.clip(cos_theta[..., None], 0.0, 1.0)
     cos2 = ct * ct
     sin2 = 1.0 - cos2
     n1e = n1[..., None]
@@ -217,11 +220,16 @@ def ggx_visible_microfacet(u, v, wo, a):
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    # Double-where both sqrts: at the disk boundary the argument touches 0 and
+    # sqrt'(0) = inf turns the clamped lanes' zero tangents into NaN in reverse
+    # mode (the sampled direction is differentiable w.r.t. roughness).
+    c1 = 1.0 - p1 * p1
+    p2 = (1.0 - s) * jnp.sqrt(jnp.where(c1 > 0.0, c1, 1.0)) * (c1 > 0.0) + s * p2
+    c2 = 1.0 - p1 * p1 - p2 * p2
     nh = (
         p1[..., None] * t1
         + p2[..., None] * t2
-        + jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))[..., None] * vh
+        + (jnp.sqrt(jnp.where(c2 > 0.0, c2, 1.0)) * (c2 > 0.0))[..., None] * vh
     )
     return g.normalize(
         jnp.stack([a * nh[..., 0], a * nh[..., 1], jnp.maximum(nh[..., 2], 0.0)], axis=-1)
@@ -245,7 +253,10 @@ def diffuse_reflection(mat: MatParams, wi, wo):
     den2 = (wi[..., 0] ** 2 + wi[..., 1] ** 2) * (wo[..., 0] ** 2 + wo[..., 1] ** 2)
     cos_dphi = jnp.clip(num / jnp.sqrt(jnp.where(den2 <= 0.0, 1.0, den2)), 0.0, 1.0)
     cos_dphi = jnp.where(den2 <= 0.0, 0.0, cos_dphi)
-    D = jnp.sqrt(jnp.maximum((1.0 - wiz ** 2) * (1.0 - wo[..., 2] ** 2), 0.0)) / _safe(
+    # Double-where: at wiz = +/-1 the argument is exactly 0 and sqrt'(0) = inf
+    # would leak NaN into every upstream parameter's gradient.
+    sin2 = (1.0 - wiz ** 2) * (1.0 - wo[..., 2] ** 2)
+    D = (jnp.sqrt(jnp.where(sin2 > 0.0, sin2, 1.0)) * (sin2 > 0.0)) / _safe(
         jnp.maximum(wiz, wo[..., 2])
     )
     on = lamb * (mat.oren_A + mat.oren_B * cos_dphi * D)[..., None]

@@ -21,7 +21,9 @@ def cross(a, b):
 
 
 def length(v):
-    return jnp.sqrt(jnp.maximum(dot(v, v), 0.0))
+    # Double-where: sqrt'(0) = inf on zero-length vectors poisons reverse mode.
+    d2 = dot(v, v)
+    return jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0)) * (d2 > 0.0)
 
 
 def normalize(v, eps=1e-9):

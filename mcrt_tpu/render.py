@@ -37,10 +37,15 @@ class RenderConfig:
     dtype: str = "float32"
     max_bounces: int = 64
     global_seed: int = 0
-    rays_per_chunk: int = 1 << 17     # rays per device dispatch
+    rays_per_chunk: int = 1 << 17     # paths per device dispatch
     sqrtspp: int | None = None        # override scene camera spp
     integrator: str = "path_tracer"   # or "photon_mapper"
     profile_dir: str | None = None    # write a jax.profiler trace of the render loop
+    # Persistent-wavefront streaming (path_tracer only): rays_per_chunk paths are
+    # streamed through `lanes` device lanes; a lane whose path dies immediately
+    # loads the next one, so per-bounce dense work is never spent on idle lanes.
+    streamed: bool = True
+    lanes: int = 1 << 15
 
 
 def _chunk_render_pm_fn(meta, pmcfg, cam: CameraDef, film_cfg, maps, dtype):
@@ -85,6 +90,31 @@ def _chunk_render_fn(meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype):
             tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index,
             intersect_fn=intersect_fn,
         )
+        return film_acc + film_mod.splat(film_cfg, rays.px, radiance)
+
+    return run
+
+
+def _chunk_render_streamed_fn(meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype,
+                              spp: int, lanes: int):
+    """Persistent-wavefront chunk step: paths [start, start+n) streamed through
+    `lanes` lanes (pt.trace_streamed), then splatted. px/py/si are the chunk's
+    path coordinates — used only for film splat positions; the in-loop path
+    reload derives them from `start` + the path counter."""
+    from .ops import cluster_bvh
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(tables, cbvh, start, px, py, si, film_acc):
+        if cbvh is not None:
+            intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, cbvh)
+        else:
+            intersect_fn = None
+        n = px.shape[0]
+        radiance, _ = pt.trace_streamed(
+            tables, meta, cfg, cam, spp, start, n, min(lanes, n),
+            intersect_fn=intersect_fn,
+        )
+        rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
         return film_acc + film_mod.splat(film_cfg, rays.px, radiance)
 
     return run
@@ -192,12 +222,17 @@ def render(
                 _pg.save_photon_grid(pm_ckpt[0], maps.caustic)
                 _pg.save_photon_grid(pm_ckpt[1], maps.global_)
         run0 = _chunk_render_pm_fn(meta, pmcfg, cam, film_cfg, maps, dtype)
-        run = lambda px, py, si, film_acc: run0(
+        run = lambda px, py, si, film_acc, start: run0(
             tables, cbvh, maps.caustic.arrays, maps.global_.arrays, px, py, si, film_acc
+        )
+    elif cfg.streamed:
+        run0 = _chunk_render_streamed_fn(meta, ptcfg, cam, film_cfg, dtype, spp, cfg.lanes)
+        run = lambda px, py, si, film_acc, start: run0(
+            tables, cbvh, jnp.asarray(start, jnp.int32), px, py, si, film_acc
         )
     else:
         run0 = _chunk_render_fn(meta, ptcfg, cam, film_cfg, dtype)
-        run = lambda px, py, si, film_acc: run0(tables, cbvh, px, py, si, film_acc)
+        run = lambda px, py, si, film_acc, start: run0(tables, cbvh, px, py, si, film_acc)
 
     # Build the (pixel, sample) megabatch lazily in chunks.
     n_pix = cam.width * cam.height
@@ -255,7 +290,7 @@ def render(
             px = xs_all[idx]
             py = ys_all[idx]
             # A short tail chunk triggers one extra compile; fine for the last dispatch.
-            film_acc = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film_acc)
+            film_acc = run(jnp.asarray(px), jnp.asarray(py), jnp.asarray(si), film_acc, done)
             done += n
             if ckpt_path is not None and _time.monotonic() - last_ckpt > checkpoint_every_s:
                 save_ckpt()
