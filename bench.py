@@ -84,27 +84,34 @@ def bench_ours():
 
     run_diag = make_run(cfg_diag)
 
-    LANES = 1 << 15
+    LANES = 1 << 13   # best measured lane count on v5e (tools/probe sweep, round 4)
     spp_ = SQRTSPP * SQRTSPP
 
-    @jax.jit
-    def run_streamed(tables, dbvh, start, px, py, si, film_acc):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_streamed(tables, dbvh, n, start, film_acc):
         intersect_fn = (
             cluster_bvh.make_intersect_fn(tables, meta, dbvh)
             if dbvh is not None else None
         )
-        n = px.shape[0]
         radiance, rays_n = pt.trace_streamed(
             tables, meta, cfg, cam, spp_, start, n, LANES, intersect_fn=intersect_fn,
         )
-        rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
-        return (
-            film_acc + film_mod.splat(film_cfg, rays.px, radiance),
-            rays_n, jnp.zeros(2, jnp.int32),
-        )
+        # Box filter at radius 0.5 + pixel-major path layout: the splat is a
+        # dense reshape-sum + contiguous row update (scatter-adds cost ~5x the
+        # whole trace on the current TPU runtime; see render.py fastbox path).
+        n_px_ = n // spp_
+        sums = radiance.reshape(n_px_, spp_, 3).sum(axis=1)
+        upd = jnp.concatenate([sums, jnp.full((n_px_, 1), spp_, dtype)], axis=1)
+        pix0 = start // spp_
+        flat = film_acc.reshape(-1, 4)
+        cur = jax.lax.dynamic_slice(flat, (pix0, 0), (n_px_, 4))
+        flat = jax.lax.dynamic_update_slice(flat, cur + upd, (pix0, 0))
+        return flat.reshape(film_acc.shape), rays_n, jnp.zeros(2, jnp.int32)
 
     run = lambda px, py, si, film_acc, start: run_streamed(
-        tables, dbvh, jnp.asarray(start, jnp.int32), px, py, si, film_acc)
+        tables, dbvh, len(px), jnp.asarray(start, jnp.int32), film_acc)
 
     spp = SQRTSPP * SQRTSPP
     n_pix = SIZE * SIZE
@@ -292,7 +299,7 @@ def bench_reference():
 def bench_bwd_subprocess():
     """Run the fwd+bwd benchmark in a child process (a TPU kernel fault there must
     not kill the headline bench), trying descending chunk sizes."""
-    for lg in (17, 16, 15):
+    for lg in (15,):
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--bwd-only", str(lg)],

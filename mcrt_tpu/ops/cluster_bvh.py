@@ -406,7 +406,6 @@ def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256):
     # round loop needs. Parked lanes (origin ~2e30, dead rays) produce t_near
     # ~ -3e30 < 0 with t_far < 0 -> no hit, so they cull themselves exactly.
     inv_d = 1.0 / d
-    o_id = o * inv_d
     CT = min(128, C)
     n_tiles = -(-C // CT)
     Cpad = n_tiles * CT
@@ -422,9 +421,12 @@ def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256):
         hit_acc, tmin_acc = carry                      # (B,Cpad) bool / f32
         lo = jax.lax.dynamic_slice_in_dim(cl_lo, i * CT, CT, 0)   # (CT,3)
         hi = jax.lax.dynamic_slice_in_dim(cl_hi, i * CT, CT, 0)
-        # t = lo*inv_d - o*inv_d, per (block, ray, cluster, axis)
-        t1 = lo[None, None, :, :] * inv_d[:, :, None, :] - o_id[:, :, None, :]
-        t2 = hi[None, None, :, :] * inv_d[:, :, None, :] - o_id[:, :, None, :]
+        # (lo - o) * inv_d — NOT lo*inv_d - o*inv_d: with an axis-aligned ray
+        # (d component 0, inv_d = inf) the latter is inf - inf = NaN and every
+        # comparison goes false, silently culling every cluster (round-4 bug
+        # caught by the 2M-triangle height-field test).
+        t1 = (lo[None, None, :, :] - o[:, :, None, :]) * inv_d[:, :, None, :]
+        t2 = (hi[None, None, :, :] - o[:, :, None, :]) * inv_d[:, :, None, :]
         tn = jnp.max(jnp.minimum(t1, t2), axis=-1)     # (B,K,CT)
         tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
         h = (tn <= tf) & (tf >= 0.0)

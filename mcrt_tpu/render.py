@@ -45,7 +45,7 @@ class RenderConfig:
     # streamed through `lanes` device lanes; a lane whose path dies immediately
     # loads the next one, so per-bounce dense work is never spent on idle lanes.
     streamed: bool = True
-    lanes: int = 1 << 15
+    lanes: int = 1 << 13  # best measured on v5e (round-4 sweep: 2^12-2^13 ~ 2.3 M rays/s)
 
 
 def _chunk_render_pm_fn(meta, pmcfg, cam: CameraDef, film_cfg, maps, dtype):
@@ -98,22 +98,47 @@ def _chunk_render_fn(meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype):
 def _chunk_render_streamed_fn(meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype,
                               spp: int, lanes: int):
     """Persistent-wavefront chunk step: paths [start, start+n) streamed through
-    `lanes` lanes (pt.trace_streamed), then splatted. px/py/si are the chunk's
-    path coordinates — used only for film splat positions; the in-loop path
-    reload derives them from `start` + the path counter."""
+    `lanes` lanes (pt.trace_streamed), then splatted. The only per-dispatch
+    inputs are the static chunk size and the scalar `start` — all coordinates
+    derive on-device."""
     from .ops import cluster_bvh
 
-    @functools.partial(jax.jit, static_argnums=())
-    def run(tables, cbvh, start, px, py, si, film_acc):
+    # Box filter at the default radius 0.5 deposits every sample into exactly
+    # its own pixel (x0 = x1 = floor(px), film.cpp:61-79 semantics), and the
+    # streamed path layout is pixel-major — so the splat of an spp-aligned chunk
+    # is a dense reshape-sum + contiguous row update, no scatter. (Scatter-adds
+    # cost ~5x the whole trace on the current TPU runtime.)
+    fastbox = film_cfg.filter_name == "box" and film_cfg.radius == 0.5
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(tables, cbvh, n, start, film_acc):
+        # Everything per-chunk derives on-device from the scalar `start`: a
+        # host->device transfer of the (n,) coordinate arrays per dispatch costs
+        # more than the whole trace through the axon tunnel (round-4 bisect).
         if cbvh is not None:
             intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, cbvh)
         else:
             intersect_fn = None
-        n = px.shape[0]
         radiance, _ = pt.trace_streamed(
             tables, meta, cfg, cam, spp, start, n, min(lanes, n),
             intersect_fn=intersect_fn,
         )
+        if fastbox and n % spp == 0:
+            n_px = n // spp
+            sums = radiance.reshape(n_px, spp, 3).sum(axis=1)
+            upd = jnp.concatenate(
+                [sums, jnp.full((n_px, 1), spp, dtype)], axis=1
+            )
+            pix0 = start // spp
+            flat = film_acc.reshape(-1, 4)
+            cur = jax.lax.dynamic_slice(flat, (pix0, 0), (n_px, 4))
+            flat = jax.lax.dynamic_update_slice(flat, cur + upd, (pix0, 0))
+            return flat.reshape(film_acc.shape)
+        lin = start + jnp.arange(n, dtype=jnp.int32)
+        pix = (lin // spp).astype(jnp.uint32)
+        px = pix % jnp.uint32(cam.width)
+        py = pix // jnp.uint32(cam.width)
+        si = (lin % spp).astype(jnp.uint32)
         rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
         return film_acc + film_mod.splat(film_cfg, rays.px, radiance)
 
@@ -228,7 +253,7 @@ def render(
     elif cfg.streamed:
         run0 = _chunk_render_streamed_fn(meta, ptcfg, cam, film_cfg, dtype, spp, cfg.lanes)
         run = lambda px, py, si, film_acc, start: run0(
-            tables, cbvh, jnp.asarray(start, jnp.int32), px, py, si, film_acc
+            tables, cbvh, len(px), jnp.asarray(start, jnp.int32), film_acc
         )
     else:
         run0 = _chunk_render_fn(meta, ptcfg, cam, film_cfg, dtype)
