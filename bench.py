@@ -212,9 +212,16 @@ def bench_bwd(chunk_lg: int = 17, reps: int = 4):
     PARAM_KEYS = ("mat_reflectance", "mat_specular_roughness", "mat_ior", "mat_transparency")
     params0 = {k: getattr(tables, k) for k in PARAM_KEYS}
 
-    def loss_fn(params, tables, dbvh, px, py, si):
+    def loss_fn(params, tables, dbvh, offset):
+        # Derive strided 1024-spp sample coords on-device from the scalar offset
+        # (host->device array transfers cost more than they measure).
         t = tables._replace(**params)
         ifn = cluster_bvh.make_intersect_fn(t, meta, dbvh)
+        lin = ((jnp.arange(1 << chunk_lg, dtype=jnp.int64) + offset) * 2654435761) % (SIZE * SIZE * 1024)
+        idx = lin // 1024
+        px = (idx % SIZE).astype(jnp.uint32)
+        py = ((idx // SIZE) % SIZE).astype(jnp.uint32)
+        si = (lin % 1024).astype(jnp.uint32)
         rays = cam_mod.generate_rays(cam, px, py, si, t.ior, cfg.global_seed, dtype)
         radiance, stats = pt.trace(
             t, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
@@ -231,29 +238,17 @@ def bench_bwd(chunk_lg: int = 17, reps: int = 4):
 
     import numpy as np
     chunk = 1 << chunk_lg
-    spp = SQRTSPP_BWD * SQRTSPP_BWD
-    n_pix = SIZE * SIZE
 
-    def make_batch(offset):
-        lin = ((np.arange(chunk, dtype=np.int64) + offset * chunk) * 2654435761) % (n_pix * spp)
-        idx = lin // spp
-        px = jnp.asarray((idx % SIZE).astype(np.uint32))
-        py = jnp.asarray(((idx // SIZE) % SIZE).astype(np.uint32))
-        si = jnp.asarray((lin % spp).astype(np.uint32))
-        return px, py, si
-
-    px, py, si = make_batch(0)
-    (loss, rays0), grads = vag(params0, tables, dbvh, px, py, si)
+    (loss, rays0), grads = vag(params0, tables, dbvh, jnp.asarray(0, jnp.int64))
     assert np.isfinite(float(loss)), "bwd loss not finite"
     for k, gv in grads.items():
         assert np.all(np.isfinite(np.asarray(gv))), f"non-finite grad for {k}"
 
-    batches = [make_batch(i) for i in range(reps)]
     t0 = time.time()
     total_rays = 0
     rays_list = []
-    for px, py, si in batches:
-        (loss, rays), grads = vag(params0, tables, dbvh, px, py, si)
+    for i in range(reps):
+        (loss, rays), grads = vag(params0, tables, dbvh, jnp.asarray(i * chunk, jnp.int64))
         rays_list.append(rays)
     # Force real completion inside the timer (axon block_until_ready is a no-op).
     float(jnp.sum(grads["mat_reflectance"]))
