@@ -55,6 +55,11 @@ class ClusterBVH(NamedTuple):
     val0: jnp.ndarray | None
     val1: jnp.ndarray | None
     val2: jnp.ndarray | None
+    # Pallas traversal tables (f32 scenes only, None for f64): per-cluster record
+    # (C, 4*Sp, 12) with the center-folded M'^T + tri-id bits (see
+    # traverse_kernel.py) and transposed cluster AABBs (Lc, 8), Lc = 128-padded C.
+    rec: jnp.ndarray | None
+    cl_bb: jnp.ndarray | None
     # (C and S are implied by tri_id.shape — keep this pytree arrays-only so it can
     # be passed straight through jit boundaries)
 
@@ -137,6 +142,11 @@ def upload_cluster_bvh(flat, scene, dtype=np.float32) -> ClusterBVH:
         c2 = r1.astype(ml_dtypes.bfloat16)
         val0, val1, val2 = (jnp.asarray(c) for c in (c0, c1, c2))
 
+    rec = cl_bb = None
+    if np.dtype(dtype).itemsize == 4:
+        rec, cl_bb = _build_pallas_tables(feat, tri_id, center,
+                                          flat.bb_min[leaf_ids], flat.bb_max[leaf_ids])
+
     return ClusterBVH(
         bb_min=jnp.asarray(flat.bb_min, dtype),
         bb_max=jnp.asarray(flat.bb_max, dtype),
@@ -150,7 +160,52 @@ def upload_cluster_bvh(flat, scene, dtype=np.float32) -> ClusterBVH:
         val0=val0,
         val1=val1,
         val2=val2,
+        rec=rec,
+        cl_bb=cl_bb,
     )
+
+
+def _build_pallas_tables(feat, tri_id, center, cl_lo, cl_hi):
+    """Host-side build of the Pallas traversal record + AABB tables.
+
+    feat (C, 10, 4S) is form-major [det|udet|vdet|tdet] in cluster-local
+    coordinates; fold the center translation into the matrix so the kernel can
+    use global-frame ray features:  F_global @ M' == F_local @ M  (see
+    traverse_kernel.py docstring for the derivation and precision argument)."""
+    C, _, S4 = feat.shape
+    S = S4 // 4
+    Sp = -(-S // 128) * 128
+    M = feat.reshape(C, 10, 4, S)
+    Mp = np.zeros((C, 10, 4, Sp), np.float32)
+    Mp[:, :, :, :S] = M
+    # d-rows: M'[0:3] = M[0:3] - c x M[6:9]
+    c = center.astype(np.float32)                       # (C, 3)
+    M69 = Mp[:, 6:9]                                    # (C, 3, 4, Sp)
+    cxm = np.cross(c[:, :, None, None], M69, axis=1)
+    Mp[:, 0:3] -= cxm
+    # 1-row: M'[9] = M[9] - c . M[3:6]
+    Mp[:, 9] -= np.einsum("ci,cifs->cfs", c, Mp[:, 3:6])
+    # rec (C, 10, 5*Sp): columns grouped [det|udet|vdet|tdet|tri] x Sp. The tri
+    # group's only nonzero row is the constant-1 feature (row 9) carrying the
+    # triangle id as an f32 VALUE (exact below 2^24), so the id rides out of the
+    # same matmul with no gather/bitcast/transpose in the kernel. -1 = padding.
+    # 16 feature rows (10 used, 6 zero padding) so the sublane dim matches the
+    # VMEM tile (8, 128) exactly — Mosaic cannot slice a 10-row plane out of a
+    # 16-row padded buffer.
+    tri_p = np.full((C, Sp), -1.0, np.float32)
+    tri_p[:, :S] = tri_id.astype(np.float32)
+    G5 = np.zeros((C, 16, 5, Sp), np.float32)
+    G5[:, :10, :4] = Mp
+    G5[:, 9, 4, :] = tri_p
+    rec = G5.reshape(C, 16, 5 * Sp)
+    # AABB table (Lc, 8): cols 0:3 lo, 4:7 hi; padded rows masked in-kernel
+    Lc = max(128, -(-C // 128) * 128)
+    cl_bb = np.zeros((Lc, 8), np.float32)
+    cl_bb[:, 0:3] = np.inf
+    cl_bb[:, 4:7] = -np.inf
+    cl_bb[:C, 0:3] = cl_lo
+    cl_bb[:C, 4:7] = cl_hi
+    return jnp.asarray(rec), jnp.asarray(cl_bb)
 
 
 def _part1by2(x):
@@ -247,6 +302,55 @@ def intersect_cluster(feat_c, tri_id_c, rayF, o, d, best_t, best_id, best_u, bes
     sel_i = lambda x: jnp.sum(jnp.where(first_best, x, 0), axis=-1)
     new_t = jnp.where(improved, tbest, best_t)
     win_id = sel_i(jnp.broadcast_to(tri_id_c[:, None, :], valid.shape)).astype(best_id.dtype)
+    new_id = jnp.where(improved, win_id, best_id)
+    new_u = jnp.where(improved, sel(u), best_u)
+    new_v = jnp.where(improved, sel(v), best_v)
+    return new_t, new_id, new_u, new_v
+
+
+def intersect_clusters_multi(feat_c, tri_id_c, rayF, best_t, best_id, best_u, best_v,
+                             precision=jax.lax.Precision.HIGHEST):
+    """Dense MXU intersection of (B,K) rays against G clusters per block at once.
+
+    feat_c: (B, G, 10, 4S); tri_id_c: (B, G, S); rayF: (B, G, K, 10) — each
+    cluster keeps its own local-coordinate ray features (the bilinear forms are
+    built relative to per-cluster centers). One batched einsum covers all G
+    clusters, so the best-first round loop amortizes its fixed per-iteration
+    runtime cost over G MXU dispatches (round-4 diagnostic: ~77 rounds x ~30 us
+    fixed cost dominated the render; G-wide rounds divide that by G).
+    """
+    B, G, _, S4 = feat_c.shape
+    S = S4 // 4
+    K = rayF.shape[2]
+    out = jnp.einsum(
+        "bgkf,bgfn->bkgn", rayF, feat_c,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    out = out.reshape(B, K, G, 4, S)
+    det = out[:, :, :, 0, :].reshape(B, K, G * S)
+    udet = out[:, :, :, 1, :].reshape(B, K, G * S)
+    vdet = out[:, :, :, 2, :].reshape(B, K, G * S)
+    tdet = out[:, :, :, 3, :].reshape(B, K, G * S)
+    tri_flat = tri_id_c.reshape(B, G * S)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    u = udet * inv_det
+    v = vdet * inv_det
+    t = tdet * inv_det
+    pad = (tri_flat < 0)[:, None, :]
+    valid = (
+        (det != 0.0) & ~pad
+        & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0) & (u + v <= 1.0)
+        & (t > 0.0) & (t < best_t[..., None])
+    )
+    t_m = jnp.where(valid, t, jnp.inf)
+    tbest = jnp.min(t_m, axis=-1)                       # (B,K)
+    improved = jnp.isfinite(tbest)
+    is_best = (t_m == tbest[..., None]) & valid
+    first_best = is_best & (jnp.cumsum(is_best, axis=-1) == 1)
+    sel = lambda x: jnp.sum(jnp.where(first_best, x, 0.0), axis=-1)
+    sel_i = lambda x: jnp.sum(jnp.where(first_best, x, 0), axis=-1)
+    new_t = jnp.where(improved, tbest, best_t)
+    win_id = sel_i(jnp.broadcast_to(tri_flat[:, None, :], valid.shape)).astype(best_id.dtype)
     new_id = jnp.where(improved, win_id, best_id)
     new_u = jnp.where(improved, sel(u), best_u)
     new_v = jnp.where(improved, sel(v), best_v)
@@ -357,7 +461,8 @@ def traverse_walk(cbvh: ClusterBVH, origin, direction, block: int = 256, max_ste
     )
 
 
-def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256):
+def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256,
+                       group: int = 8):
     """Dense-cull best-first traversal: few fat iterations, no tree walk.
 
     The reference's per-ray priority-queue traversal (bvh.cpp:80-129) visits
@@ -451,7 +556,16 @@ def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256):
     key = jnp.where(hit, t_near_lb, big)
     ids = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
     key_s, ids_s = jax.lax.sort((key, ids), dimension=1, num_keys=1)
-    key_t = key_s.T                                   # (C,B): row slice per round
+    # G-wide rounds: pad the candidate lists to a multiple of G with non-hits so
+    # every round can slice a full (G, B) panel.
+    G = max(1, min(group, C))
+    Cr = -(-C // G) * G
+    if Cr > C:
+        key_s = jnp.concatenate(
+            [key_s, jnp.full((B, Cr - C), big, dtype)], axis=1)
+        ids_s = jnp.concatenate(
+            [ids_s, jnp.zeros((B, Cr - C), jnp.int32)], axis=1)
+    key_t = key_s.T                                   # (Cr,B): G-row slice per round
     ids_t = ids_s.T
 
     iota_c = jnp.arange(C, dtype=jnp.int32)
@@ -464,41 +578,42 @@ def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256):
         best_v: jnp.ndarray
 
     def round_inputs(st: St):
-        tlb = jax.lax.dynamic_slice_in_dim(key_t, st.r, 1, 0)[0]   # (B,)
-        cl = jax.lax.dynamic_slice_in_dim(ids_t, st.r, 1, 0)[0]    # (B,)
+        tlb = jax.lax.dynamic_slice_in_dim(key_t, st.r, G, 0).T    # (B,G)
+        cl = jax.lax.dynamic_slice_in_dim(ids_t, st.r, G, 0).T     # (B,G)
         # Parked lanes never find a hit; exclude their +inf best_t from the
         # block's pruning demand or no block with a parked lane would ever stop.
         demand = jnp.max(jnp.where(parked, 0.0, st.best_t), axis=1)
-        active = tlb < demand
+        active = tlb < demand[:, None]                             # (B,G)
         return cl, active
 
     def cond(st: St):
         _, active = round_inputs(st)
-        return (st.r < C) & jnp.any(active)
+        return (st.r < Cr) & jnp.any(active)
 
     def body(st: St):
         cl, active = round_inputs(st)
         if cbvh.val0 is not None:
             # Exact one-hot MXU gather: 3 bf16 passes reconstruct f32.
-            oh = (cl[:, None] == iota_c[None, :]).astype(jnp.bfloat16)
+            oh = (cl.reshape(B * G)[:, None] == iota_c[None, :]).astype(jnp.bfloat16)
             mm = lambda v: jax.lax.dot_general(
                 oh, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             val = mm(cbvh.val0) + mm(cbvh.val1) + mm(cbvh.val2)
-            feat_c = val[:, :F].reshape(B, 10, 4 * S).astype(dtype)
-            tri_c = jnp.round(val[:, F : F + S]).astype(jnp.int32)
-            center_c = val[:, F + S :].astype(dtype)
+            feat_c = val[:, :F].reshape(B, G, 10, 4 * S).astype(dtype)
+            tri_c = jnp.round(val[:, F : F + S]).astype(jnp.int32).reshape(B, G, S)
+            center_c = val[:, F + S :].astype(dtype).reshape(B, G, 3)
         else:
-            feat_c = cbvh.feat[cl]
-            tri_c = cbvh.tri_id[cl]
-            center_c = cbvh.center[cl]
-        tri_c = jnp.where(active[:, None], tri_c, -1)
-        o_local = o - center_c[:, None, :]
-        rayF_local = _ray_features(o_local, d)
-        bt, bid, bu, bv = intersect_cluster(
-            feat_c, tri_c, rayF_local, o, d, st.best_t, st.best_id, st.best_u, st.best_v,
+            feat_c = cbvh.feat[cl]          # (B,G,10,4S)
+            tri_c = cbvh.tri_id[cl]         # (B,G,S)
+            center_c = cbvh.center[cl]      # (B,G,3)
+        tri_c = jnp.where(active[:, :, None], tri_c, -1)
+        o_local = o[:, None, :, :] - center_c[:, :, None, :]       # (B,G,K,3)
+        d_b = jnp.broadcast_to(d[:, None, :, :], o_local.shape)
+        rayF_local = _ray_features(o_local, d_b)                   # (B,G,K,10)
+        bt, bid, bu, bv = intersect_clusters_multi(
+            feat_c, tri_c, rayF_local, st.best_t, st.best_id, st.best_u, st.best_v,
         )
-        return St(st.r + 1, bt, bid, bu, bv)
+        return St(st.r + G, bt, bid, bu, bv)
 
     init = St(
         r=jnp.asarray(0, jnp.int32),
@@ -511,19 +626,36 @@ def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256):
     flat = lambda x: x.reshape(-1)[:R]
     return (
         flat(final.best_t), flat(final.best_id), flat(final.best_u),
-        flat(final.best_v), jnp.stack([n_candidates, final.r]),
+        flat(final.best_v), jnp.stack([n_candidates, final.r // G]),
     )
 
 
-def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, method: str = "bestfirst"):
+def _pallas_available(cbvh: ClusterBVH) -> bool:
+    """Pallas traversal runs on real TPU backends with f32 tables."""
+    import os
+
+    if cbvh.rec is None or os.environ.get("MCRT_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def traverse(cbvh: ClusterBVH, origin, direction, block: int = 256, method: str = "bestfirst",
+             group: int = 8):
     if method == "walk":
         return traverse_walk(cbvh, origin, direction, block)
-    return traverse_bestfirst(cbvh, origin, direction, block)
+    if method == "pallas":
+        from .traverse_kernel import traverse_pallas
+
+        return traverse_pallas(cbvh, origin, direction, block)
+    return traverse_bestfirst(cbvh, origin, direction, block, group=group)
 
 
 def make_intersect_fn(
     tables: SceneTables, meta: SceneMeta, cbvh: ClusterBVH, block: int = 256,
-    sort_rays: bool = True, method: str = "bestfirst",
+    sort_rays: bool = True, method: str | None = None, group: int = 8,
 ):
     """Scene intersect closure: cluster BVH for triangles + brute spheres/quadrics.
 
@@ -539,7 +671,12 @@ def make_intersect_fn(
     faulted the v5e chip at 2^18-ray dispatches (see README fault table); this
     formulation keeps the carry in lane order and cured that fault (round 4,
     tools/fault_probe.py: 2^18/2^19 now pass).
+
+    method: None selects automatically — the fused Pallas kernel on TPU backends
+    (traverse_kernel.py), the XLA best-first formulation elsewhere.
     """
+    if method is None:
+        method = "pallas" if _pallas_available(cbvh) else "bestfirst"
 
     def intersect(origin, direction):
         dtype = origin.dtype
@@ -554,7 +691,7 @@ def make_intersect_fn(
             key = coherence_key(sg_o, sg_d, cbvh.bb_min[0], cbvh.bb_max[0])
             perm = jnp.argsort(key)
             t_s, id_s, u_s, v_s, steps = traverse(
-                cbvh, sg_o[perm], sg_d[perm], block, method=method
+                cbvh, sg_o[perm], sg_d[perm], block, method=method, group=group
             )
             # Unsort with a gather through the inverse permutation (argsort of
             # argsort) — NOT a scatter: a scatter inside the bounce while_loop
@@ -562,7 +699,8 @@ def make_intersect_fn(
             inv = jnp.argsort(perm)
             best_t, best_id, u, v = t_s[inv], id_s[inv], u_s[inv], v_s[inv]
         else:
-            best_t, best_id, u, v, steps = traverse(cbvh, sg_o, sg_d, block, method=method)
+            best_t, best_id, u, v, steps = traverse(
+                cbvh, sg_o, sg_d, block, method=method, group=group)
         best_uv = jnp.stack([u, v], axis=-1)
         # Re-evaluate the winner exactly (same gathered-triangle ops as the brute
         # path) so BVH and no-BVH renders produce bitwise-identical hits.

@@ -130,9 +130,12 @@ def _chunk_render_streamed_fn(meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, 
                 [sums, jnp.full((n_px, 1), spp, dtype)], axis=1
             )
             pix0 = start // spp
+            # Both indices must share a dtype: under jax_enable_x64 the literal 0
+            # would promote to int64 while pix0 stays int32 (round-4 red suite).
+            zero = jnp.zeros((), pix0.dtype)
             flat = film_acc.reshape(-1, 4)
-            cur = jax.lax.dynamic_slice(flat, (pix0, 0), (n_px, 4))
-            flat = jax.lax.dynamic_update_slice(flat, cur + upd, (pix0, 0))
+            cur = jax.lax.dynamic_slice(flat, (pix0, zero), (n_px, 4))
+            flat = jax.lax.dynamic_update_slice(flat, cur + upd, (pix0, zero))
             return flat.reshape(film_acc.shape)
         lin = start + jnp.arange(n, dtype=jnp.int32)
         pix = (lin // spp).astype(jnp.uint32)
