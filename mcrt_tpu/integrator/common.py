@@ -40,6 +40,39 @@ class Interaction(NamedTuple):
     t_safe: jnp.ndarray      # (R,) hit distance (1 on miss lanes)
 
 
+def _surface_normal_packed(tables, meta, sid, row, position):
+    """surface_normal (ops/intersect.py) fed from the packed per-surface row:
+    the triangle geometric normal comes from pack cols 6:9; sphere/quadric
+    normals stay analytic (they depend on the hit position)."""
+    n = row[:, 6:9]
+    if meta.n_sphs:
+        sph_id = jnp.clip(sid - meta.sphere_offset, 0, max(meta.n_sphs - 1, 0))
+        sph_n = (position - tables.sph_origin[sph_id]) / tables.sph_radius[sph_id][:, None]
+        n = jnp.where((sid >= meta.sphere_offset)[:, None], sph_n, n)
+    if meta.n_quads:
+        quad_id = jnp.clip(sid - meta.quad_offset, 0, max(meta.n_quads - 1, 0))
+        p4 = jnp.concatenate([position, jnp.ones_like(position[..., :1])], axis=-1)
+        grad = jnp.einsum("rij,rj->ri", tables.quad_G[quad_id], p4)
+        n = jnp.where((sid >= meta.quad_offset)[:, None], g.normalize(grad), n)
+    return n
+
+
+def _shading_normal_packed(meta, sid, row, uv, geom_n, direction):
+    """shading_normal (ops/intersect.py) fed from pack cols 9 (interp flag) and
+    10:19 (the three vertex normals), with the same flip-side fallback
+    (reference interaction.cpp:23-30)."""
+    is_tri = sid < meta.sphere_offset
+    interp = is_tri & (row[:, 9] > 0.5)
+    vn = row[:, 10:19]
+    u, v = uv[..., 0:1], uv[..., 1:2]
+    sn = g.normalize((1.0 - u - v) * vn[:, 0:3] + u * vn[:, 3:6] + v * vn[:, 6:9])
+    cos_g = g.dot(direction, geom_n)
+    cos_s = g.dot(direction, sn)
+    flip_mismatch = (cos_g < 0.0) != (cos_s < 0.0)
+    use_interp = interp & ~flip_mismatch
+    return jnp.where(use_interp[:, None], sn, geom_n)
+
+
 def interaction_setup(
     tables: SceneTables,
     meta: SceneMeta,
@@ -57,24 +90,52 @@ def interaction_setup(
     t_safe = jnp.where(missed, jnp.asarray(1.0, dtype), hit.t)
     position = origin + direction * t_safe[:, None]
     position = isect.refine_positions(tables, meta, hit.surf_id, position)
-    geom_n_raw = isect.surface_normal(tables, meta, hit.surf_id, position)
+
+    s = jnp.maximum(hit.surf_id, 0)
+    # One wide packed per-surface gather (area/mat/radiosity/emissive + the
+    # triangle normal data) instead of ~8 narrow ones: per-lane gathers cost
+    # ~0.3 ms each per 2^16 rays on TPU regardless of row width (round-5
+    # measurement), and the pack concat is loop-invariant so XLA hoists it out
+    # of the bounce loop. Triangle-only columns are zero-padded to n_surf.
+    n_surf = tables.surf_area.shape[0]
+    ntri = meta.n_tris
+    pad = n_surf - ntri
+    f = lambda x: x.astype(dtype)[:, None]
+
+    def tri_col(x):
+        return jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), dtype)], 0) if pad else x
+
+    pack = jnp.concatenate(
+        [
+            f(tables.surf_area),                            # 0
+            f(tables.surf_mat),                             # 1
+            tables.surf_radiosity,                          # 2:5
+            f(tables.surf_emissive_idx),                    # 5
+            tri_col(tables.tri_n),                          # 6:9
+            tri_col(f(tables.tri_interp)),                  # 9
+            tri_col(tables.tri_vn.reshape(ntri, 9)),        # 10:19
+        ],
+        axis=1,
+    )
+    row = pack[s]
+    area = row[:, 0]
+    mat_id = (row[:, 1] + 0.5).astype(jnp.int32)
+    radiosity = row[:, 2:5]
+    emissive_idx = jnp.where(row[:, 5] >= 0, row[:, 5] + 0.5, -1.0).astype(jnp.int32)
+
+    geom_n_raw = _surface_normal_packed(tables, meta, s, row, position)
     cos_g = g.dot(direction, geom_n_raw)
     inside = cos_g > 0.0
 
-    s = jnp.maximum(hit.surf_id, 0)
-    area = tables.surf_area[s]
-    mat_id = tables.surf_mat[s]
-    radiosity = tables.surf_radiosity[s]
-    emissive_idx = tables.surf_emissive_idx[s]
     mat = bsdf.gather_materials(tables, mat_id)
 
-    external_ior = jnp.take_along_axis(
-        iors, jnp.clip(refraction_level - 1, 0, ior_count - 1)[:, None], axis=1
-    )[:, 0]
+    external_ior = g.onehot_row_take(
+        iors, jnp.clip(refraction_level - 1, 0, ior_count - 1)
+    )
     n1 = medium_ior
     n2 = jnp.where(inside & ~mat.opaque, external_ior, mat.ior)
 
-    sn_raw = isect.shading_normal(tables, meta, hit.surf_id, hit.uv, geom_n_raw, direction)
+    sn_raw = _shading_normal_packed(meta, s, row, hit.uv, geom_n_raw, direction)
     flip = inside[:, None]
     normal = jnp.where(flip, -geom_n_raw, geom_n_raw)
     sn = jnp.where(flip, -sn_raw, sn_raw)
@@ -133,14 +194,34 @@ def sample_direct(
     u_l1 = sobol.sample(ctx, 1)
     u_l2 = sobol.sample(ctx, 2)
     n_l = tables.light_cdf.shape[0]
-    light_idx = jnp.clip(jnp.searchsorted(tables.light_cdf, u_l2, side="left"), 0, n_l - 1)
-    lsurf = tables.light_surf[light_idx]
-    select_prob = tables.light_select_prob[light_idx]
-    l_radiosity = tables.light_radiosity[light_idx]
-    l_area = tables.light_area[light_idx]
-    from .path_tracer import _sample_light_position
+    light_idx = jnp.clip(g.cdf_index(tables.light_cdf, u_l2), 0, n_l - 1)
+    # One wide packed gather for every per-light field (narrow per-field gathers
+    # cost ~0.3 ms each per 2^16 rays on TPU; width is free — round-5 measurement).
+    lf = lambda x: x.astype(dtype)[:, None]
+    lpack = jnp.concatenate(
+        [
+            lf(tables.light_surf),          # 0 (ids exact in f32 below 2^24)
+            lf(tables.light_select_prob),   # 1
+            tables.light_radiosity,         # 2:5
+            lf(tables.light_area),          # 5
+            lf(tables.light_kind),          # 6
+            tables.light_p0,                # 7:10
+            tables.light_p1,                # 10:13
+            tables.light_p2,                # 13:16
+            tables.light_normal,            # 16:19
+        ],
+        axis=1,
+    )
+    lrow = lpack[light_idx]
+    lsurf = (lrow[:, 0] + 0.5).astype(jnp.int32)
+    select_prob = lrow[:, 1]
+    l_radiosity = lrow[:, 2:5]
+    l_area = lrow[:, 5]
+    from .path_tracer import _sample_light_position_from
 
-    light_pos, l_normal = _sample_light_position(tables, light_idx, u_l0, u_l1)
+    light_pos, l_normal = _sample_light_position_from(
+        lrow[:, 6], lrow[:, 7:10], lrow[:, 10:13], lrow[:, 13:16], lrow[:, 16:19],
+        u_l0, u_l1)
 
     shadow_o = ix.position + ix.normal * eps
     sdir0 = g.normalize(light_pos - shadow_o)
@@ -269,15 +350,16 @@ def bsdf_bounce(ix: Interaction, direction, ctx, eps, flux: bool) -> Bounce:
 
 
 def update_ior_stack(iors, ior_count, refraction_level, level_delta, new_medium, K: int):
-    """RefractionHistory push/pop for the new ray (ray.cpp:80-98)."""
-    R = iors.shape[0]
-    rows = jnp.arange(R)
+    """RefractionHistory push/pop for the new ray (ray.cpp:80-98).
+
+    The slot write is a one-hot masked select, not a scatter: per-lane scatters
+    serialize on TPU the same way per-lane gathers do."""
     new_level = refraction_level + level_delta
     push = (new_level > 0) & (new_level == ior_count)
     pop = (new_level > 0) & (new_level < ior_count - 1)
     slot = jnp.clip(ior_count, 0, K - 1)
-    cur = iors[rows, slot]
-    iors = iors.at[rows, slot].set(jnp.where(push, new_medium, cur))
+    at_slot = jnp.arange(K)[None, :] == slot[:, None]
+    iors = jnp.where(at_slot & push[:, None], new_medium[:, None], iors)
     ior_count = ior_count + jnp.where(push, 1, 0) - jnp.where(pop, 1, 0)
     ior_count = jnp.clip(ior_count, 1, K)
     return iors, ior_count, new_level

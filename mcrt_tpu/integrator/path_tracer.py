@@ -124,16 +124,13 @@ def _gather_surface(tables: SceneTables, meta: SceneMeta, sid):
     )
 
 
-def _sample_light_position(tables: SceneTables, light_idx, u, v):
-    """Uniform area sample + normal on the selected light (tri: sqrt-warp
-    triangle.cpp:93-97; sphere: uniform sphere.cpp:37-44)."""
-    li = jnp.maximum(light_idx, 0)
-    kind = tables.light_kind[li]
-    p0, p1, p2 = tables.light_p0[li], tables.light_p1[li], tables.light_p2[li]
+def _sample_light_position_from(kind, p0, p1, p2, tri_n, u, v):
+    """Uniform area sample + normal on an already-gathered light (tri: sqrt-warp
+    triangle.cpp:93-97; sphere: uniform sphere.cpp:37-44). `kind` is f32 0/1
+    (from the packed light-table gather in common.sample_direct)."""
     # Triangle
     su = jnp.sqrt(u)[..., None]
     tri_pos = (1.0 - su) * p0 + ((1.0 - v)[..., None] * su) * p1 + (v[..., None] * su) * p2
-    tri_n = tables.light_normal[li]
     # Sphere
     radius = p2[..., 0]
     z = 1.0 - 2.0 * u
@@ -141,10 +138,18 @@ def _sample_light_position(tables: SceneTables, light_idx, u, v):
     phi = 2.0 * jnp.pi * v
     sph_dir = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
     sph_pos = p0 + radius[..., None] * sph_dir
-    is_sph = (kind == 1)[..., None]
+    is_sph = (kind > 0.5)[..., None]
     pos = jnp.where(is_sph, sph_pos, tri_pos)
     normal = jnp.where(is_sph, sph_dir, tri_n)
     return pos, normal
+
+
+def _sample_light_position(tables: SceneTables, light_idx, u, v):
+    """Back-compat wrapper: gather the light row, then sample (photon mapper)."""
+    li = jnp.maximum(light_idx, 0)
+    return _sample_light_position_from(
+        tables.light_kind[li].astype(u.dtype), tables.light_p0[li],
+        tables.light_p1[li], tables.light_p2[li], tables.light_normal[li], u, v)
 
 
 class RegenCfg(NamedTuple):

@@ -46,25 +46,59 @@ class MatParams(NamedTuple):
 
 
 def gather_materials(tables, mat_id) -> MatParams:
+    """One wide packed gather instead of 17 narrow ones.
+
+    Per-lane gathers on TPU cost ~0.3 ms per 2^16 rays REGARDLESS of row width
+    (measured round 5), so consolidating the material fetch into a single
+    (n_mats, 26)-row gather is ~17x cheaper than per-field gathers. The concat
+    is loop-invariant (XLA hoists it out of the bounce loop) and differentiable,
+    so reflectance/roughness/ior/transparency gradients still flow into the
+    underlying tables."""
     m = jnp.maximum(mat_id, 0)
+    dtype = tables.mat_reflectance.dtype
+    f = lambda x: x.astype(dtype)[:, None]
+    pack = jnp.concatenate(
+        [
+            tables.mat_reflectance,             # 0:3
+            tables.mat_specular_reflectance,    # 3:6
+            tables.mat_transmittance,           # 6:9
+            f(tables.mat_roughness),            # 9
+            f(tables.mat_specular_roughness),   # 10
+            f(tables.mat_transparency),         # 11
+            f(tables.mat_ior),                  # 12
+            f(tables.mat_perfect_mirror),       # 13
+            f(tables.mat_has_complex),          # 14
+            tables.mat_complex_real,            # 15:18
+            tables.mat_complex_imag,            # 18:21
+            f(tables.mat_rough),                # 21
+            f(tables.mat_rough_specular),       # 22
+            f(tables.mat_opaque),               # 23
+            f(tables.mat_dirac_delta),          # 24
+            f(tables.mat_oren_A),               # 25
+            f(tables.mat_oren_B),               # 26
+        ],
+        axis=1,
+    )
+    row = pack[m]                               # (R, 27): the ONE gather
+    b = lambda c: row[:, c] > 0.5
     return MatParams(
-        reflectance=tables.mat_reflectance[m],
-        specular_reflectance=tables.mat_specular_reflectance[m],
-        transmittance=tables.mat_transmittance[m],
-        roughness=tables.mat_roughness[m],
-        specular_roughness=tables.mat_specular_roughness[m],
-        transparency=tables.mat_transparency[m],
-        ior=tables.mat_ior[m],
-        perfect_mirror=tables.mat_perfect_mirror[m],
-        has_complex=tables.mat_has_complex[m],
-        complex_real=tables.mat_complex_real[m],
-        complex_imag=tables.mat_complex_imag[m],
-        rough=tables.mat_rough[m],
-        rough_specular=tables.mat_rough_specular[m],
-        opaque=tables.mat_opaque[m],
-        dirac_delta=tables.mat_dirac_delta[m],
-        oren_A=tables.mat_oren_A[m],
-        oren_B=tables.mat_oren_B[m],
+        reflectance=row[:, 0:3],
+        specular_reflectance=row[:, 3:6],
+        transmittance=row[:, 6:9],
+        roughness=row[:, 9],
+        specular_roughness=row[:, 10],
+        transparency=row[:, 11],
+        ior=row[:, 12],
+        perfect_mirror=b(13),
+        has_complex=b(14),
+        complex_real=row[:, 15:18],
+        complex_imag=row[:, 18:21],
+        rough=b(21),
+        rough_specular=b(22),
+        opaque=b(23),
+        dirac_delta=b(24),
+        oren_A=row[:, 25],
+        oren_B=row[:, 26],
     )
 
 

@@ -712,7 +712,7 @@ def make_intersect_fn(
             t, valid = intersect_spheres_block(origin, direction, tables.sph_origin, tables.sph_radius)
             t = jnp.where(valid, t, big)
             idx = jnp.argmin(t, axis=-1)
-            tt = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+            tt = jnp.min(t, axis=-1)  # == t at idx; avoids a take_along_axis gather
             better = tt < best_t
             best_id = jnp.where(better, idx.astype(jnp.int32) + meta.sphere_offset, best_id)
             best_t = jnp.minimum(best_t, tt)
@@ -721,7 +721,7 @@ def make_intersect_fn(
             t, valid = intersect_quadrics_block(origin, direction, tables.quad_Q, tables.quad_bb_min, tables.quad_bb_max)
             t = jnp.where(valid, t, big)
             idx = jnp.argmin(t, axis=-1)
-            tt = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+            tt = jnp.min(t, axis=-1)
             better = tt < best_t
             best_id = jnp.where(better, idx.astype(jnp.int32) + meta.quad_offset, best_id)
             best_t = jnp.minimum(best_t, tt)

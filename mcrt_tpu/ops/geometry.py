@@ -106,3 +106,37 @@ def solve_quadratic(a, b, c):
     t_min = jnp.where(quad_valid, jnp.minimum(t0, t1), lin_t)
     t_max = jnp.where(quad_valid, jnp.maximum(t0, t1), lin_t)
     return quad_valid | lin_valid, t_min, t_max
+
+
+def cdf_index(cdf, u, tile: int = 4096):
+    """searchsorted(cdf, u, side='left') as dense broadcast-compares.
+
+    jnp.searchsorted lowers to a vmapped while-loop of per-lane gathers on TPU —
+    measured 4 ms per bounce at chunk 2^16 (40% of the whole shading step,
+    round-5 trace). The count of cdf entries below u is the same index computed
+    as a (R, n) VPU compare-reduce, tiled to at most R x tile lanes."""
+    import jax
+
+    n = cdf.shape[0]
+    if n <= tile:
+        return jnp.sum((cdf[None, :] < u[:, None]).astype(jnp.int32), axis=1)
+    pad = (-n) % tile
+    cdf_p = jnp.concatenate([cdf, jnp.full((pad,), jnp.inf, cdf.dtype)]) if pad else cdf
+    n_tiles = cdf_p.shape[0] // tile
+
+    def body(i, acc):
+        seg = jax.lax.dynamic_slice_in_dim(cdf_p, i * tile, tile, 0)
+        return acc + jnp.sum((seg[None, :] < u[:, None]).astype(jnp.int32), axis=1)
+
+    return jax.lax.fori_loop(0, n_tiles, body, jnp.zeros(u.shape, jnp.int32))
+
+
+def onehot_row_take(x, idx):
+    """x[arange(R), idx] for (R, K) x with small K, without per-lane gathers.
+
+    take_along_axis lowers to a serialized gather on TPU; a one-hot masked sum
+    over the K columns is pure VPU work for K up to a few hundred."""
+    K = x.shape[-1]
+    cols = jnp.arange(K)
+    mask = cols[None, :] == idx[..., None]
+    return jnp.sum(jnp.where(mask, x, 0), axis=-1)

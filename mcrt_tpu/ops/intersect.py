@@ -71,9 +71,13 @@ def refine_tri_hit(tables: "SceneTables", meta: "SceneMeta", origin, direction, 
     sid = jnp.maximum(surf_id, 0)
     is_tri = (surf_id >= 0) & (sid < meta.sphere_offset)
     tid = jnp.clip(sid, 0, meta.n_tris - 1)
-    v0 = tables.tri_v0[tid]
-    e1 = tables.tri_e1[tid]
-    e2 = tables.tri_e2[tid]
+    # One 9-wide gather instead of three narrow ones (TPU gather cost is
+    # ~independent of row width; the concat is hoisted out of the bounce loop).
+    geo = jnp.concatenate([tables.tri_v0, tables.tri_e1, tables.tri_e2], axis=1)
+    grow = geo[tid]
+    v0 = grow[:, 0:3]
+    e1 = grow[:, 3:6]
+    e2 = grow[:, 6:9]
     p = jnp.cross(direction, e2)
     det = jnp.sum(p * e1, axis=-1)
     inv_det = 1.0 / jnp.where(det == 0.0, jnp.asarray(1.0, det.dtype), det)
@@ -173,11 +177,11 @@ def intersect_brute(tables: SceneTables, meta: SceneMeta, origin, direction) -> 
         t, u, v, valid = intersect_tris_block(origin, direction, tables.tri_v0, tables.tri_e1, tables.tri_e2, eps)
         t = jnp.where(valid, t, _big(dtype))
         idx = jnp.argmin(t, axis=-1)
-        tt = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+        tt = jnp.min(t, axis=-1)  # == t at idx; avoids a take_along_axis gather
         hit_valid = tt < best_t
         best_id = jnp.where(hit_valid, idx.astype(jnp.int32), best_id)
-        uu = jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0]
-        vv = jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
+        uu = g.onehot_row_take(u, idx)
+        vv = g.onehot_row_take(v, idx)
         best_uv = jnp.where(hit_valid[:, None], jnp.stack([uu, vv], axis=-1), best_uv)
         best_t = jnp.minimum(best_t, tt)
 
@@ -185,7 +189,7 @@ def intersect_brute(tables: SceneTables, meta: SceneMeta, origin, direction) -> 
         t, valid = intersect_spheres_block(origin, direction, tables.sph_origin, tables.sph_radius)
         t = jnp.where(valid, t, _big(dtype))
         idx = jnp.argmin(t, axis=-1)
-        tt = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+        tt = jnp.min(t, axis=-1)
         hit_valid = tt < best_t
         best_id = jnp.where(hit_valid, idx.astype(jnp.int32) + meta.sphere_offset, best_id)
         best_t = jnp.minimum(best_t, tt)
@@ -194,7 +198,7 @@ def intersect_brute(tables: SceneTables, meta: SceneMeta, origin, direction) -> 
         t, valid = intersect_quadrics_block(origin, direction, tables.quad_Q, tables.quad_bb_min, tables.quad_bb_max)
         t = jnp.where(valid, t, _big(dtype))
         idx = jnp.argmin(t, axis=-1)
-        tt = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+        tt = jnp.min(t, axis=-1)
         hit_valid = tt < best_t
         best_id = jnp.where(hit_valid, idx.astype(jnp.int32) + meta.quad_offset, best_id)
         best_t = jnp.minimum(best_t, tt)

@@ -47,9 +47,16 @@ PARK_LIMIT = 1e28  # lanes with |origin| beyond this are parked (dead) rays
 
 
 def _kernel(ft_ref, bb_ref, rec_hbm, t_ref, id_ref, u_ref, v_ref, st_ref,
-            keys_ref, buf_ref, sem, *, C: int, Sp: int, K: int):
-    """One K-ray block: ft_ref (10, K) ray features, bb_ref (Lc, 8) cluster
-    AABBs (cols 0:3 lo, 4:7 hi), rec_hbm (C, 4Sp, 12) in HBM; outputs (1, K)."""
+            tn_ref, vis_ref, buf_ref, sems, *, C: int, Sp: int, K: int):
+    """One K-ray block: ft_ref (1, 16, K) ray features, bb_ref (Lc, 8) cluster
+    AABBs (cols 0:3 lo, 4:7 hi), rec_hbm (C, 16, 5Sp) in HBM; outputs (1, K).
+
+    Pruning is EXACT per ray: the cull keeps the whole (Lc, K) entry-distance
+    matrix in VMEM and every round recomputes each candidate's key as the min
+    entry distance over rays it could still beat (tn < that ray's best-t) — as
+    best-t tightens, candidates die ray-by-ray, not block-by-block. Candidate
+    records are double-buffered: the next argmin is picked and its DMA started
+    before the current record is processed, hiding the HBM fetch latency."""
     Lc = bb_ref.shape[0]
     T = Lc // 128
     big = jnp.float32(BIG)
@@ -63,10 +70,8 @@ def _kernel(ft_ref, bb_ref, rec_hbm, t_ref, id_ref, u_ref, v_ref, st_ref,
     inv_dx = 1.0 / dx
     inv_dy = 1.0 / dy
     inv_dz = 1.0 / dz
-    parked = jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)),
-                         jnp.abs(oz)) > PARK_LIMIT            # (1, K)
 
-    # ---- 1. cull: per-cluster "any ray hits" + nearest entry distance ----
+    # ---- 1. cull: per-(cluster, ray) entry distance, big = miss ----
     for ct in range(T):
         sl = slice(ct * 128, (ct + 1) * 128)
         lo_x = bb_ref[sl, 0:1]
@@ -86,36 +91,54 @@ def _kernel(ft_ref, bb_ref, rec_hbm, t_ref, id_ref, u_ref, v_ref, st_ref,
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
                          jnp.maximum(t1z, t2z))
         h = (tn <= tf) & (tf >= 0.0)
-        key = jnp.min(jnp.where(h, tn, big), axis=1, keepdims=True)  # (128, 1)
-        keys_ref[sl, :] = key
+        tn_ref[sl, :] = jnp.where(h, tn, big)
 
     row_io = jax.lax.broadcasted_iota(jnp.int32, (Lc, 1), 0)
-    keys_ref[:, :] = jnp.where(row_io < C, keys_ref[:, :], big)
-    n_cand = jnp.sum((keys_ref[:, :] < big).astype(jnp.int32))
+    vis_ref[:, :] = jnp.where(row_io < C, 0.0, big)
+    n_cand = jnp.sum(
+        (jnp.min(tn_ref[:, :], axis=1, keepdims=True) + vis_ref[:, :] < big)
+        .astype(jnp.int32))
 
-    def argmin_keys():
-        k = keys_ref[:, :]
-        kmin = jnp.min(k)
-        cl = jnp.min(jnp.where(k == kmin, row_io, Lc))
+    def argmin_keys(bt):
+        # candidate key = min entry distance over rays it could still improve
+        beats = tn_ref[:, :] < bt                               # (Lc, K)
+        key = jnp.min(jnp.where(beats, tn_ref[:, :], big), axis=1, keepdims=True)
+        key = jnp.maximum(key, vis_ref[:, :])                   # visited -> big
+        kmin = jnp.min(key)
+        cl = jnp.min(jnp.where(key == kmin, row_io, Lc))
         return kmin, cl
 
-    kmin0, cl0 = argmin_keys()
+    def start_fetch(slot, cl):
+        pltpu.make_async_copy(rec_hbm.at[cl], buf_ref.at[slot], sems.at[slot]).start()
+
+    bt0 = jnp.full((1, K), big, jnp.float32)
+    kmin0, cl0 = argmin_keys(bt0)
+    vis_ref[:, :] = jnp.where(row_io == cl0, big, vis_ref[:, :])
+
+    @pl.when(kmin0 < big)
+    def _():
+        start_fetch(0, cl0)
 
     rowS = jax.lax.broadcasted_iota(jnp.int32, (Sp, K), 0)
 
     def cond(carry):
         r, kmin, cl, bt, bid, bu, bv = carry
-        demand = jnp.max(jnp.where(parked, 0.0, bt))
-        return (r < C) & (kmin < demand)
+        return (r < C) & (kmin < big)
 
     def body(carry):
         r, kmin, cl, bt, bid, bu, bv = carry
-        copy = pltpu.make_async_copy(rec_hbm.at[cl], buf_ref, sem)
-        copy.start()
-        copy.wait()
-        keys_ref[:, :] = jnp.where(row_io == cl, big, keys_ref[:, :])
+        slot = jax.lax.rem(r, jnp.int32(2))
+        # Pick + prefetch the NEXT candidate before processing the current one.
+        nkmin, ncl = argmin_keys(bt)
+        vis_ref[:, :] = jnp.where(row_io == ncl, big, vis_ref[:, :])
+
+        @pl.when(nkmin < big)
+        def _():
+            start_fetch(1 - slot, ncl)
+
+        pltpu.make_async_copy(rec_hbm.at[cl], buf_ref.at[slot], sems.at[slot]).wait()
         out = jax.lax.dot_general(
-            buf_ref[:, :], ft_ref[0], (((0,), (0,)), ((), ())),
+            buf_ref[slot], ft_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                                       # (5Sp, K)
@@ -144,17 +167,25 @@ def _kernel(ft_ref, bb_ref, rec_hbm, t_ref, id_ref, u_ref, v_ref, st_ref,
         bid = jnp.where(improved, win_id.astype(jnp.int32), bid)
         bu = jnp.where(improved, pick(u), bu)
         bv = jnp.where(improved, pick(v), bv)
-        kmin, cl = argmin_keys()
-        return r + 1, kmin, cl, bt, bid, bu, bv
+        return r + 1, nkmin, ncl, bt, bid, bu, bv
 
     init = (
         jnp.int32(0), kmin0, cl0,
-        jnp.full((1, K), big, jnp.float32),
+        bt0,
         jnp.full((1, K), -1, jnp.int32),
         jnp.zeros((1, K), jnp.float32),
         jnp.zeros((1, K), jnp.float32),
     )
-    r_fin, _, _, bt, bid, bu, bv = jax.lax.while_loop(cond, body, init)
+    r_fin, kmin_x, _, bt, bid, bu, bv = jax.lax.while_loop(cond, body, init)
+
+    # Drain the last prefetched record (started in the final body iteration, or
+    # the pre-loop fetch if the loop never ran) so no DMA outlives the kernel.
+    @pl.when(kmin_x < big)
+    def _():
+        pltpu.make_async_copy(
+            rec_hbm.at[0], buf_ref.at[jax.lax.rem(r_fin, jnp.int32(2))],
+            sems.at[jax.lax.rem(r_fin, jnp.int32(2))]).wait()
+
     t_ref[0, :, :] = bt
     id_ref[0, :, :] = bid
     u_ref[0, :, :] = bu
@@ -193,9 +224,10 @@ def _run(rec, cl_bb, ft, C: int, interpret: bool):
             jax.ShapeDtypeStruct((B, 1, 2), jnp.int32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((Lc, K), jnp.float32),
             pltpu.VMEM((Lc, 1), jnp.float32),
-            pltpu.VMEM((16, rec.shape[2]), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 16, rec.shape[2]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(ft, cl_bb, rec)
