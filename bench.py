@@ -124,7 +124,10 @@ def bench_ours():
     # combination (per-bounce coherence sort of the whole PathState inside the
     # bounce while_loop + cluster traversal temporaries) faults at R=2^18.
     # 2^17 is the validated envelope; render.py enforces the same bound.
-    chunk = 1 << 17
+    # (Round 5: the round-4 fault shape is gone — the coherence sort now
+    # permutes only (o, d) and the traversal is the Pallas kernel; 2^18
+    # re-validated on v5e and measures ~35% faster than 2^17.)
+    chunk = 1 << 18
     import numpy as np
 
     film = jnp.zeros((SIZE, SIZE, 4), dtype)
@@ -212,34 +215,35 @@ def bench_bwd(chunk_lg: int = 17, reps: int = 4):
     PARAM_KEYS = ("mat_reflectance", "mat_specular_roughness", "mat_ior", "mat_transparency")
     params0 = {k: getattr(tables, k) for k in PARAM_KEYS}
 
-    def loss_fn(params, tables, dbvh, offset):
-        # Derive strided 1024-spp sample coords on-device from the scalar offset
-        # (host->device array transfers cost more than they measure).
+    # Differentiable REGENERATING wavefront: a 64-trip lax.scan where dead lanes
+    # immediately load the next (pixel, sample) path, so backward-pass trips do
+    # ~trips/mean-path-length paths of useful work per lane instead of one.
+    # This is what closes the 10-20x fwd/bwd gap of the non-regenerating scan
+    # (round-4 weak #4). n_paths per dispatch = chunk; lanes sized so the trip
+    # budget comfortably drains them (paths average ~2 bounces on spaceship).
+    n_paths = 1 << chunk_lg
+    TRIPS = 64
+    lanes = max(1024, n_paths // 16)
+
+    def loss_fn(params, tables, dbvh, start):
         t = tables._replace(**params)
         ifn = cluster_bvh.make_intersect_fn(t, meta, dbvh)
-        lin = ((jnp.arange(1 << chunk_lg, dtype=jnp.int64) + offset) * 2654435761) % (SIZE * SIZE * 1024)
-        idx = lin // 1024
-        px = (idx % SIZE).astype(jnp.uint32)
-        py = ((idx // SIZE) % SIZE).astype(jnp.uint32)
-        si = (lin % 1024).astype(jnp.uint32)
-        rays = cam_mod.generate_rays(cam, px, py, si, t.ior, cfg.global_seed, dtype)
-        radiance, stats = pt.trace(
-            t, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
-            rays.sample_index, differentiable=True, return_stats=True,
-            intersect_fn=ifn,
+        out, rays = pt.trace_streamed(
+            t, meta, cfg, cam, 1024, start, n_paths, lanes,
+            intersect_fn=ifn, fixed_trips=TRIPS,
         )
-        acc = film_mod.splat(film_cfg, rays.px, radiance)
-        # Pixel loss on the raw accumulator (not film_mod.scan): a single chunk
-        # leaves most pixels with zero filter weight, so the weighted mean is
-        # undefined — the splat still sits in the differentiated graph.
-        return jnp.mean(acc[..., :3] ** 2), stats["rays"]
+        # Box-filter pixel loss: paths are pixel-major at 1024 spp, so the splat
+        # is a dense reshape-mean (see render.py fastbox path).
+        n_px = n_paths // 1024
+        sums = out.reshape(n_px, 1024, 3).sum(axis=1) * (1.0 / 1024.0)
+        return jnp.mean(sums ** 2), rays
 
     vag = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
     import numpy as np
     chunk = 1 << chunk_lg
 
-    (loss, rays0), grads = vag(params0, tables, dbvh, jnp.asarray(0, jnp.int64))
+    (loss, rays0), grads = vag(params0, tables, dbvh, jnp.asarray(0, jnp.int32))
     assert np.isfinite(float(loss)), "bwd loss not finite"
     for k, gv in grads.items():
         assert np.all(np.isfinite(np.asarray(gv))), f"non-finite grad for {k}"
@@ -248,7 +252,8 @@ def bench_bwd(chunk_lg: int = 17, reps: int = 4):
     total_rays = 0
     rays_list = []
     for i in range(reps):
-        (loss, rays), grads = vag(params0, tables, dbvh, jnp.asarray(i * chunk, jnp.int64))
+        start = (i * chunk) % (SIZE * SIZE * 1024 - chunk)
+        (loss, rays), grads = vag(params0, tables, dbvh, jnp.asarray(start, jnp.int32))
         rays_list.append(rays)
     # Force real completion inside the timer (axon block_until_ready is a no-op).
     float(jnp.sum(grads["mat_reflectance"]))
@@ -293,8 +298,9 @@ def bench_reference():
 
 def bench_bwd_subprocess():
     """Run the fwd+bwd benchmark in a child process (a TPU kernel fault there must
-    not kill the headline bench), trying descending chunk sizes."""
-    for lg in (15,):
+    not kill the headline bench), falling back through chunk sizes. Child stderr
+    is surfaced on failure instead of swallowed (the round-4 silent null)."""
+    for lg in (19, 17, 15):
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--bwd-only", str(lg)],
@@ -303,8 +309,10 @@ def bench_bwd_subprocess():
             for line in reversed(out.stdout.strip().splitlines()):
                 if line.startswith("{"):
                     return json.loads(line)
-        except Exception:
-            pass
+            print(f"bwd lg={lg} produced no result; stderr tail:\n"
+                  + "\n".join(out.stderr.strip().splitlines()[-15:]), file=sys.stderr)
+        except Exception as e:
+            print(f"bwd lg={lg} failed: {e!r}", file=sys.stderr)
     return None
 
 

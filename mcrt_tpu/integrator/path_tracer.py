@@ -455,6 +455,8 @@ def trace_streamed(
     n_paths: int,
     lanes: int,
     intersect_fn: Callable | None = None,
+    fixed_trips: int | None = None,
+    remat: bool = True,
 ):
     """Persistent-wavefront trace: `lanes` device lanes stream `n_paths` camera
     paths (global indices [start, start+n_paths), pixel-major x sample-minor as
@@ -464,7 +466,15 @@ def trace_streamed(
     gets the same effect from threads pulling buckets off the work queue,
     camera.cpp:101-136). Returns (radiance (n_paths, 3), rays traced).
 
-    Forward-only (the differentiable path uses trace()'s fixed-trip scan).
+    fixed_trips: None (default) runs a while_loop until every path drains —
+    fastest forward. An int runs exactly that many bounce steps as a `lax.scan`,
+    which JAX can reverse-differentiate: THE differentiable wavefront. Because
+    dead lanes immediately reload the next path, a 64-trip scan does ~64/mean-
+    path-length paths of useful work per lane instead of one — this is what
+    closes the 10-20x forward/backward gap of the non-regenerating scan
+    (round-4 weak #4). Paths still in flight when the trips run out contribute
+    their partial radiance (same truncation semantics as max_bounces); size
+    n_paths ~ lanes * trips / (expected path length + margin) to keep that rare.
     """
     from ..camera import camera as cam_mod
 
@@ -517,6 +527,17 @@ def trace_streamed(
         prev_bsdf_pdf=f0,
         prev_select_prob=f0 + 1.0,
     )
+
+    if fixed_trips is not None:
+        body = jax.checkpoint(step) if remat else step
+        final, _ = jax.lax.scan(
+            lambda st, _: (body(st), None), init, None, length=fixed_trips)
+        # Flush still-alive lanes' partial radiance to their output rows
+        # (truncation at the trip budget, like max_bounces in the reference).
+        slot = jnp.where(final.alive, final.path_id, n_paths)
+        out = final.out_rad.at[slot].add(
+            jnp.where(final.alive[:, None], final.radiance, 0.0), mode="drop")
+        return out[:n_paths], final.ray_count
 
     def cond(st: PathState):
         return jnp.any(st.alive)

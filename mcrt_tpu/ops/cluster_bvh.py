@@ -690,14 +690,27 @@ def make_intersect_fn(
         if sort_rays:
             key = coherence_key(sg_o, sg_d, cbvh.bb_min[0], cbvh.bb_max[0])
             perm = jnp.argsort(key)
+            # ONE packed 6-wide gather for the permute (o|d) and ONE packed
+            # 4-wide gather for the unsort: TPU gather cost is per row, not per
+            # element, and the 8 narrow gathers this replaces were ~0.5 ms each
+            # per 2^16 rays (round-5 trace, ~4 ms/bounce).
+            od = jnp.concatenate([sg_o, sg_d], axis=1)[perm]
             t_s, id_s, u_s, v_s, steps = traverse(
-                cbvh, sg_o[perm], sg_d[perm], block, method=method, group=group
+                cbvh, od[:, 0:3], od[:, 3:6], block, method=method, group=group
             )
             # Unsort with a gather through the inverse permutation (argsort of
             # argsort) — NOT a scatter: a scatter inside the bounce while_loop
             # trips an XLA TPU codegen cliff (12 s/dispatch at 2^16, round 4).
             inv = jnp.argsort(perm)
-            best_t, best_id, u, v = t_s[inv], id_s[inv], u_s[inv], v_s[inv]
+            # ids ride as exact float VALUES (all ids < 2^24, -1 = miss). NOT a
+            # bitcast: small int bit patterns are f32 subnormals, which the TPU
+            # VPU flushes to zero in the fused select/copy chain (verified:
+            # bitcast version renders black on v5e, value version is exact).
+            id_f = id_s.astype(dtype)
+            unid = lambda x: jnp.where(x < 0, -1, (x + 0.5).astype(jnp.int32))
+            packed = jnp.stack([t_s, id_f, u_s, v_s], axis=1)[inv]
+            best_t, best_id, u, v = (
+                packed[:, 0], unid(packed[:, 1]), packed[:, 2], packed[:, 3])
         else:
             best_t, best_id, u, v, steps = traverse(
                 cbvh, sg_o, sg_d, block, method=method, group=group)
