@@ -543,10 +543,12 @@ def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256,
         tmin_acc = jax.lax.dynamic_update_slice_in_dim(tmin_acc, tn_min, i * CT, 1)
         return hit_acc, tmin_acc
 
-    hit, t_near_lb = jax.lax.fori_loop(
-        0, n_tiles, cull_tile,
-        (jnp.zeros((B, Cpad), bool), jnp.full((B, Cpad), big, dtype)),
-    )
+    # Derive the cull carry from the (possibly device-varying) ray data so the
+    # fori_loop carry types are consistent under shard_map (scan-vma rule).
+    vz = o[:, 0, 0] * 0.0                                   # (B,) varying zeros
+    hit0 = (vz[:, None] + jnp.zeros((1, Cpad), dtype)) > 1.0
+    tmin0 = vz[:, None] + jnp.full((1, Cpad), big, dtype)
+    hit, t_near_lb = jax.lax.fori_loop(0, n_tiles, cull_tile, (hit0, tmin0))
     hit = hit[:, :C]
     t_near_lb = t_near_lb[:, :C]
     n_candidates = jnp.sum(hit.astype(jnp.int32))

@@ -106,7 +106,12 @@ def render_distributed(
     mesh = global_mesh()
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    step = sharding.sharded_render_step(meta, ptcfg, cam, film_cfg, mesh, dtype)
+    # One intersect path everywhere (reference scene.cpp:151-176): when the
+    # scene requests a BVH, the distributed render routes through the same
+    # ClusterBVH as the single-device path (replicated across the mesh).
+    cbvh = scene.build_cluster_bvh(np.dtype(cfg.dtype))
+    step = sharding.sharded_render_step(
+        meta, ptcfg, cam, film_cfg, mesh, dtype, with_bvh=cbvh is not None)
 
     n_pix = cam.width * cam.height
     total = n_pix * spp
@@ -139,7 +144,8 @@ def render_distributed(
             to_global = lambda a: multihost_utils.host_local_array_to_global_array(
                 jnp.asarray(a), mesh, P(axis)
             )
-            film = step(tables, to_global(px_l), to_global(py_l), to_global(si_l), film)
+            args = (tables, cbvh) if cbvh is not None else (tables,)
+            film = step(*args, to_global(px_l), to_global(py_l), to_global(si_l), film)
             done += n
             if verbose and jax.process_index() == 0:
                 print(f"\r{done}/{total} rays", end="", flush=True)

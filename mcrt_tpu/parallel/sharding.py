@@ -28,28 +28,47 @@ def make_mesh(devices=None, axis_name: str = "rays") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def sharded_render_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype):
-    """Returns jitted fn: (tables, px, py, si, film) -> film, with rays sharded over
-    the mesh, scene tables replicated, and the film psum-reduced so every device
-    holds the full accumulator. Tables are an argument, not a closure, so large
-    scenes don't get baked into the HLO as constants."""
+def sharded_render_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype,
+                        with_bvh: bool = False):
+    """Returns jitted fn: (tables[, cbvh], px, py, si, film) -> film, with rays
+    sharded over the mesh, scene tables replicated, and the film psum-reduced so
+    every device holds the full accumulator. Tables are an argument, not a
+    closure, so large scenes don't get baked into the HLO as constants.
+
+    with_bvh=True adds a replicated ClusterBVH argument and routes every ray
+    through the same accelerated intersect as the single-device path (one
+    intersect path everywhere, reference scene.cpp:151-176 — round-4 weak #6
+    was that the sharded steps silently fell back to brute force)."""
     axis = mesh.axis_names[0]
 
-    def step(tables, px, py, si, film_acc):
+    def trace_local(tables, cbvh, px, py, si):
+        if cbvh is not None:
+            from ..ops import cluster_bvh as cb
+
+            intersect_fn = cb.make_intersect_fn(tables, meta, cbvh)
+        else:
+            intersect_fn = None
         rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
         radiance = pt.trace(
             tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index,
-            vary_axes=(axis,),
+            vary_axes=(axis,), intersect_fn=intersect_fn,
         )
-        local = film_mod.splat(film_cfg, rays.px, radiance)
-        return film_acc + jax.lax.psum(local, axis)
+        return film_mod.splat(film_cfg, rays.px, radiance)
 
-    sharded = shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P()),
-        out_specs=P(),
-    )
+    if with_bvh:
+        def step(tables, cbvh, px, py, si, film_acc):
+            local = trace_local(tables, cbvh, px, py, si)
+            return film_acc + jax.lax.psum(local, axis)
+
+        in_specs = (P(), P(), P(axis), P(axis), P(axis), P())
+    else:
+        def step(tables, px, py, si, film_acc):
+            local = trace_local(tables, None, px, py, si)
+            return film_acc + jax.lax.psum(local, axis)
+
+        in_specs = (P(), P(axis), P(axis), P(axis), P())
+
+    sharded = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=P())
     return jax.jit(sharded)
 
 
@@ -60,7 +79,8 @@ DEFAULT_TRAIN_PARAMS = (
 )
 
 
-def sharded_train_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype):
+def sharded_train_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype,
+                       with_bvh: bool = False):
     """Differentiable render step: returns jitted fn
     (tables, params, px, py, si, target) -> (loss, grads) where `params` is a
     pytree (dict) of material tables — any subset of SceneTables' mat_* fields,
@@ -75,30 +95,40 @@ def sharded_train_step(meta, cfg: pt.PTConfig, cam, film_cfg, mesh: Mesh, dtype)
     """
     axis = mesh.axis_names[0]
 
-    def loss_fn(params, tables, px, py, si, target):
+    def loss_fn(params, tables, cbvh, px, py, si, target):
         if isinstance(params, dict):
             t = tables._replace(**params)
         else:
             t = tables._replace(mat_reflectance=params)
+        if cbvh is not None:
+            from ..ops import cluster_bvh as cb
+
+            intersect_fn = cb.make_intersect_fn(t, meta, cbvh)
+        else:
+            intersect_fn = None
         rays = cam_mod.generate_rays(cam, px, py, si, t.ior, cfg.global_seed, dtype)
         radiance = pt.trace(
             t, meta, cfg, rays.origin, rays.direction, rays.pixel_index, rays.sample_index,
-            differentiable=True, vary_axes=(axis,),
+            differentiable=True, vary_axes=(axis,), intersect_fn=intersect_fn,
         )
         acc = film_mod.splat(film_cfg, rays.px, radiance)
         acc = jax.lax.psum(acc, axis)
         img = film_mod.scan(acc)
         return jnp.mean((img - target) ** 2)
 
-    def step(tables, params, px, py, si, target):
-        loss, grad = jax.value_and_grad(loss_fn)(params, tables, px, py, si, target)
-        # loss/grad computed from psum'd film are already replica-identical.
-        return loss, grad
+    if with_bvh:
+        def step(tables, cbvh, params, px, py, si, target):
+            loss, grad = jax.value_and_grad(loss_fn)(params, tables, cbvh, px, py, si, target)
+            return loss, grad
 
-    sharded = shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P()),
-    )
+        in_specs = (P(), P(), P(), P(axis), P(axis), P(axis), P())
+    else:
+        def step(tables, params, px, py, si, target):
+            loss, grad = jax.value_and_grad(loss_fn)(params, tables, None, px, py, si, target)
+            # loss/grad computed from psum'd film are already replica-identical.
+            return loss, grad
+
+        in_specs = (P(), P(), P(axis), P(axis), P(axis), P())
+
+    sharded = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()))
     return jax.jit(sharded)

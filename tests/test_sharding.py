@@ -147,3 +147,75 @@ def test_render_distributed_pads_non_divisible_tail():
     img_dist = distributed.render_distributed(scene, 0, cfg)
     img_single = np.asarray(render(Scene(json.loads(json.dumps(j)), scene_dir=REF_SCENES), 0, cfg))
     np.testing.assert_allclose(img_dist, img_single, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_bvh_render_matches_single_device():
+    """One intersect path everywhere (reference scene.cpp:151-176): the sharded
+    render routed through the replicated ClusterBVH must equal the single-device
+    BVH render exactly (round-4 weak #6: sharded paths fell back to brute)."""
+    j = json.loads((REF_SCENES / "spaceship.json").read_text())
+    j["cameras"][0]["image"] = {"width": 16, "height": 16, "plain": True}
+    j["cameras"][0]["sqrtspp"] = 1
+    scene = Scene(j, scene_dir=REF_SCENES)
+    dtype = jnp.float32
+    tables = scene.tables(dtype)
+    meta = scene.meta()
+    cam = scene.cameras[0]
+    cfg = pt.PTConfig(max_bounces=4)
+    film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
+    cbvh = scene.build_cluster_bvh(np.dtype("float32"))
+    assert cbvh is not None
+
+    from mcrt_tpu.ops import cluster_bvh as cb
+
+    n = cam.width * cam.height
+    px = jnp.asarray(np.arange(n, dtype=np.uint32) % cam.width)
+    py = jnp.asarray(np.arange(n, dtype=np.uint32) // cam.width)
+    si = jnp.zeros(n, jnp.uint32)
+    film0 = jnp.zeros((cam.height, cam.width, 4), dtype)
+
+    ifn = cb.make_intersect_fn(tables, meta, cbvh)
+    rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, cfg.global_seed, dtype)
+    radiance = pt.trace(
+        tables, meta, cfg, rays.origin, rays.direction, rays.pixel_index,
+        rays.sample_index, intersect_fn=ifn,
+    )
+    single = film0 + film_mod.splat(film_cfg, rays.px, radiance)
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    with mesh:
+        step = sharding.sharded_render_step(
+            meta, cfg, cam, film_cfg, mesh, dtype, with_bvh=True)
+        sharded = step(tables, cbvh, px, py, si, film0)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_bvh_train_step_finite():
+    """Differentiable sharded train step with the BVH routed: loss + grads finite."""
+    j = json.loads((REF_SCENES / "spaceship.json").read_text())
+    j["cameras"][0]["image"] = {"width": 8, "height": 8, "plain": True}
+    j["cameras"][0]["sqrtspp"] = 1
+    scene = Scene(j, scene_dir=REF_SCENES)
+    dtype = jnp.float32
+    tables = scene.tables(dtype)
+    meta = scene.meta()
+    cam = scene.cameras[0]
+    cfg = pt.PTConfig(max_bounces=3)
+    film_cfg = film_mod.FilmConfig.from_json(cam.width, cam.height, cam.film)
+    cbvh = scene.build_cluster_bvh(np.dtype("float32"))
+
+    n = cam.width * cam.height
+    px = jnp.asarray(np.arange(n, dtype=np.uint32) % cam.width)
+    py = jnp.asarray(np.arange(n, dtype=np.uint32) // cam.width)
+    si = jnp.zeros(n, jnp.uint32)
+    target = jnp.zeros((cam.height, cam.width, 3), dtype)
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    with mesh:
+        step = sharding.sharded_train_step(
+            meta, cfg, cam, film_cfg, mesh, dtype, with_bvh=True)
+        params = {k: getattr(tables, k) for k in sharding.DEFAULT_TRAIN_PARAMS}
+        loss, grads = step(tables, cbvh, params, px, py, si, target)
+    assert np.isfinite(float(loss))
+    for k, gv in grads.items():
+        assert np.all(np.isfinite(np.asarray(gv))), k
