@@ -98,6 +98,7 @@ def _make_emission_step(tables, meta, cfg: PMConfig, intersect_fn, light_idx, em
     K = cfg.ior_stack_size
 
     def step(st: _EmitState, bounce):
+        # `bounce` is the GLOBAL bounce index (continuation scans pass 48, 49, …)
         ctx = sobol.shuffled(base_ctx, bounce + 1)
         hit = intersect_fn(st.origin, st.direction)
         alive = st.alive & (hit.surf_id >= 0)
@@ -199,7 +200,7 @@ def emit_photons(
         return outs + (jnp.sum(mask_f.astype(jnp.int32)),)
 
     @functools.partial(jax.jit, static_argnums=())
-    def run_chunk(light_idx, emission_idx):
+    def init_chunk(light_idx, emission_idx):
         ctx0 = sobol.make_ctx(cfg.global_seed, light_idx, emission_idx, dtype)
         u0 = sobol.sample(ctx0, 0)
         u1 = sobol.sample(ctx0, 1)
@@ -210,10 +211,9 @@ def emit_photons(
         direction = g.from_local(g.cos_weighted_hemi(u2, u3), t, bvec, normal)
         origin = pos + normal * eps
 
-        R = origin.shape[0]
         f0 = origin[:, 0] * 0.0
         i0 = (light_idx * 0).astype(jnp.int32)
-        st = _EmitState(
+        return _EmitState(
             origin=origin,
             direction=direction,
             flux=flux_pp_dev[light_idx.astype(jnp.int32)],
@@ -224,14 +224,25 @@ def emit_photons(
             ray_dirac=i0 != 0,
             alive=i0 == 0,
         )
+
+    @functools.partial(jax.jit, static_argnums=())
+    def scan_chunk(st, light_idx, emission_idx, bounce0):
+        """Advance one 48-bounce scan segment; emission continues from `st` with
+        global bounce indices [bounce0, bounce0 + max_photon_bounces). Photon
+        termination is EXACTLY Russian roulette (photon-mapper.cpp:264-273): the
+        host keeps calling this with the carried state until no photon is alive,
+        so no depth cap is imposed (round-4 weak #7 — the fixed 48-bounce scan
+        silently dropped deep specular chains)."""
         step = _make_emission_step(tables, meta, cfg, intersect_fn, light_idx, emission_idx)
-        _, ys = jax.lax.scan(step, st, jnp.arange(cfg.max_photon_bounces, dtype=jnp.uint32))
+        bounces = bounce0 + jnp.arange(cfg.max_photon_bounces, dtype=jnp.uint32)
+        st, ys = jax.lax.scan(step, st, bounces)
         pos_b, dir_b, flux_b, cmask, gmask = ys
         flat = lambda a: a.reshape(-1, a.shape[-1])
         pos_f, dir_f, flux_f = flat(pos_b), flat(dir_b), flat(flux_b)
         c_pos, c_dir, c_flux, c_n = _compact(cmask.reshape(-1), CAP, pos_f, dir_f, flux_f)
         g_pos, g_dir, g_flux, g_n = _compact(gmask.reshape(-1), CAP, pos_f, dir_f, flux_f)
-        return (c_pos, c_dir, c_flux, c_n), (g_pos, g_dir, g_flux, g_n), ys
+        n_alive = jnp.sum(st.alive.astype(jnp.int32))
+        return st, (c_pos, c_dir, c_flux, c_n), (g_pos, g_dir, g_flux, g_n), ys, n_alive
 
     caustic_out = {"pos": [], "dir": [], "flux": []}
     global_out = {"pos": [], "dir": [], "flux": []}
@@ -241,21 +252,30 @@ def emit_photons(
         n = min(chunk, E - done)
         li = jnp.asarray(light_idx_all[done : done + n].astype(np.uint32))
         ei = jnp.asarray(emission_idx_all[done : done + n])
-        c_pack, g_pack, ys = run_chunk(li, ei)
-        c_n, g_n = int(c_pack[3]), int(g_pack[3])
-        if c_n <= CAP and g_n <= CAP:
-            for pack, count, out in ((c_pack, c_n, caustic_out), (g_pack, g_n, global_out)):
-                p, d, fl = (np.asarray(jax.device_get(a)) for a in pack[:3])
-                out["pos"].append(p[:count])
-                out["dir"].append(d[:count])
-                out["flux"].append(fl[:count])
-        else:  # overflow: fall back to raw-buffer transfer for this chunk
-            pos, pdir, pflux, cmask, gmask = jax.device_get(ys)
-            for mask, out in ((cmask, caustic_out), (gmask, global_out)):
-                m = mask.reshape(-1)
-                out["pos"].append(pos.reshape(-1, 3)[m])
-                out["dir"].append(pdir.reshape(-1, 3)[m])
-                out["flux"].append(pflux.reshape(-1, 3)[m])
+        st = init_chunk(li, ei)
+        bounce0 = 0
+        while True:
+            st, c_pack, g_pack, ys, n_alive = scan_chunk(
+                st, li, ei, jnp.uint32(bounce0))
+            c_n, g_n = int(c_pack[3]), int(g_pack[3])
+            if c_n <= CAP and g_n <= CAP:
+                for pack, count, out in ((c_pack, c_n, caustic_out), (g_pack, g_n, global_out)):
+                    p, d, fl = (np.asarray(jax.device_get(a)) for a in pack[:3])
+                    out["pos"].append(p[:count])
+                    out["dir"].append(d[:count])
+                    out["flux"].append(fl[:count])
+            else:  # overflow: fall back to raw-buffer transfer for this segment
+                pos, pdir, pflux, cmask, gmask = jax.device_get(ys)
+                for mask, out in ((cmask, caustic_out), (gmask, global_out)):
+                    m = mask.reshape(-1)
+                    out["pos"].append(pos.reshape(-1, 3)[m])
+                    out["dir"].append(pdir.reshape(-1, 3)[m])
+                    out["flux"].append(pflux.reshape(-1, 3)[m])
+            bounce0 += cfg.max_photon_bounces
+            # RR-exact termination: continue the surviving photons in further
+            # scan segments until none are alive (no depth cap).
+            if int(n_alive) == 0:
+                break
         done += n
         if verbose:
             print(f"\rphotons emitted: {done}/{E}", end="", flush=True)
@@ -363,32 +383,39 @@ class _EyeState(NamedTuple):
     prev_light: jnp.ndarray
     prev_bsdf_pdf: jnp.ndarray
     prev_select_prob: jnp.ndarray
+    # Regeneration fields (persistent wavefront, see trace_streamed): per-lane
+    # path identity + the output buffer dead paths are flushed to.
+    pixel_index: jnp.ndarray
+    sample_index: jnp.ndarray
+    path_id: jnp.ndarray
+    next_path: jnp.ndarray
+    out_rad: jnp.ndarray
 
 
-def trace(
+def _make_eye_step(
     tables: SceneTables,
     meta: SceneMeta,
     cfg: PMConfig,
     maps: PhotonMaps,
     caustic_arrays: pgrid.PhotonGridArrays,
     global_arrays: pgrid.PhotonGridArrays,
-    origin,
-    direction,
-    pixel_index,
-    sample_index,
-    intersect_fn: Callable | None = None,
+    intersect_fn: Callable,
+    regen=None,
 ):
-    """Photon-mapping eye pass for a batch of camera rays -> (R,3) radiance."""
-    dtype = origin.dtype
-    R = origin.shape[0]
-    if intersect_fn is None:
-        intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
+    """One eye-pass bounce step over _EyeState; regen (path_tracer.RegenCfg)
+    switches on persistent-wavefront path regeneration: a lane whose eye path
+    terminates flushes its radiance to out_rad and immediately loads the next
+    (pixel, sample) path, so the dense per-bounce estimate work is never spent
+    on dead lanes (the same fix trace_streamed applied to the path tracer —
+    round-4 weak #8 left the photon eye pass non-streamed)."""
+    dtype = tables.tri_v0.dtype
     eps = jnp.asarray(ray_offset_eps(dtype), dtype)
-    base_ctx = sobol.make_ctx(cfg.global_seed, pixel_index, sample_index, dtype)
     K = cfg.ior_stack_size
     k = cfg.k_nearest_photons
 
     def step(st: _EyeState) -> _EyeState:
+        R = st.origin.shape[0]
+        base_ctx = sobol.make_ctx(cfg.global_seed, st.pixel_index, st.sample_index, dtype)
         ctx = sobol.shuffled(base_ctx, st.bounce.astype(jnp.uint32) + 1)
         hit = intersect_fn(st.origin, st.direction)
         alive = st.alive & (hit.surf_id >= 0)   # miss: no sky term in photon mapping
@@ -458,13 +485,69 @@ def trace(
         iors, ior_count, new_level = common.update_ior_stack(
             st.iors, st.ior_count, st.refraction_level, b.level_delta, b.new_medium, K
         )
+
+        bounce = st.bounce + 1
+        alive_next = alive_next & (bounce < cfg.max_eye_bounces)
+        pixel_index = st.pixel_index
+        sample_index = st.sample_index
+        path_id = st.path_id
+        next_path = st.next_path
+        out_rad = st.out_rad
+        new_origin = b.new_origin
+        new_dir = b.new_dir
+        medium_ior = b.new_medium
+        ray_dirac = b.dirac_next
+
+        if regen is not None:
+            from ..camera import camera as cam_mod
+            from .path_tracer import PARK_DISTANCE
+
+            park_o = jnp.asarray([PARK_DISTANCE] * 3, dtype)
+            park_d = jnp.asarray([0.57735026, 0.57735026, 0.57735026], dtype)
+            died_now = st.alive & ~alive_next
+            slot = jnp.where(died_now, path_id, regen.n_paths)
+            out_rad = out_rad.at[slot].add(
+                jnp.where(died_now[:, None], radiance, 0.0), mode="drop")
+            rank = jnp.cumsum(died_now.astype(jnp.int32)) - died_now.astype(jnp.int32)
+            new_local = (next_path + rank).astype(jnp.int32)
+            has_new = died_now & (new_local < regen.n_paths)
+            lin = regen.start + jnp.minimum(new_local, regen.n_paths - 1)
+            pix = (lin // regen.spp).astype(jnp.uint32)
+            fresh = cam_mod.generate_rays(
+                regen.cam, pix % jnp.uint32(regen.width),
+                pix // jnp.uint32(regen.width),
+                (lin % regen.spp).astype(jnp.uint32), None, cfg.global_seed, dtype)
+            sel = has_new[:, None]
+            alive_next = alive_next | has_new
+            scene_ior = tables.ior.astype(dtype)
+            new_origin = jnp.where(sel, fresh.origin,
+                                   jnp.where(alive_next[:, None], new_origin, park_o))
+            new_dir = jnp.where(sel, fresh.direction,
+                                jnp.where(alive_next[:, None], new_dir, park_d))
+            bounce = jnp.where(has_new, 0, bounce)
+            pixel_index = jnp.where(has_new, fresh.pixel_index, pixel_index)
+            sample_index = jnp.where(has_new, fresh.sample_index, sample_index)
+            path_id = jnp.where(has_new, new_local, path_id)
+            next_path = next_path + jnp.sum(died_now.astype(jnp.int32))
+            medium_ior = jnp.where(has_new, scene_ior, medium_ior)
+            new_refr_scale = jnp.where(has_new, 1.0, new_refr_scale)
+            ray_dirac = jnp.where(has_new, False, ray_dirac)
+            diffuse_depth = jnp.where(has_new, 0, diffuse_depth)
+            new_level = jnp.where(has_new, 0, new_level)
+            iors = jnp.where(sel, scene_ior, iors)
+            ior_count = jnp.where(has_new, 1, ior_count)
+            throughput = jnp.where(sel, 1.0, throughput)
+            radiance = jnp.where(sel, 0.0, radiance)
+            prev_light = jnp.where(has_new, -1, prev_light)
+            prev_select_prob = jnp.where(has_new, 1.0, prev_select_prob)
+
         return _EyeState(
-            bounce=st.bounce + 1,
-            origin=b.new_origin,
-            direction=b.new_dir,
-            medium_ior=b.new_medium,
+            bounce=bounce,
+            origin=new_origin,
+            direction=new_dir,
+            medium_ior=medium_ior,
             refraction_scale=new_refr_scale,
-            ray_dirac=b.dirac_next,
+            ray_dirac=ray_dirac,
             diffuse_depth=diffuse_depth,
             refraction_level=new_level,
             iors=iors,
@@ -475,13 +558,43 @@ def trace(
             prev_light=prev_light,
             prev_bsdf_pdf=b.pdf,
             prev_select_prob=prev_select_prob,
+            pixel_index=pixel_index,
+            sample_index=sample_index,
+            path_id=path_id,
+            next_path=next_path,
+            out_rad=out_rad,
         )
+
+    return step
+
+
+def trace(
+    tables: SceneTables,
+    meta: SceneMeta,
+    cfg: PMConfig,
+    maps: PhotonMaps,
+    caustic_arrays: pgrid.PhotonGridArrays,
+    global_arrays: pgrid.PhotonGridArrays,
+    origin,
+    direction,
+    pixel_index,
+    sample_index,
+    intersect_fn: Callable | None = None,
+):
+    """Photon-mapping eye pass for a batch of camera rays -> (R,3) radiance."""
+    dtype = origin.dtype
+    R = origin.shape[0]
+    if intersect_fn is None:
+        intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
+
+    step = _make_eye_step(
+        tables, meta, cfg, maps, caustic_arrays, global_arrays, intersect_fn)
 
     f0 = origin[:, 0] * 0.0
     i0 = (pixel_index * 0).astype(jnp.int32)
     b_false = i0 != 0
     init = _EyeState(
-        bounce=jnp.asarray(0, jnp.int32),
+        bounce=i0,
         origin=origin,
         direction=direction,
         medium_ior=f0 + tables.ior.astype(dtype),
@@ -497,10 +610,88 @@ def trace(
         prev_light=i0 - 1,
         prev_bsdf_pdf=f0,
         prev_select_prob=f0 + 1.0,
+        pixel_index=pixel_index,
+        sample_index=sample_index,
+        path_id=i0 + jnp.arange(R, dtype=jnp.int32),
+        next_path=jnp.sum(i0) + R,
+        out_rad=jnp.zeros((1, 3), dtype) + jnp.sum(f0),
     )
 
     def cond(st: _EyeState):
-        return jnp.any(st.alive) & (st.bounce < cfg.max_eye_bounces)
+        return jnp.any(st.alive)
 
     final = jax.lax.while_loop(cond, step, init)
     return final.radiance
+
+
+def trace_streamed(
+    tables: SceneTables,
+    meta: SceneMeta,
+    cfg: PMConfig,
+    maps: PhotonMaps,
+    caustic_arrays: pgrid.PhotonGridArrays,
+    global_arrays: pgrid.PhotonGridArrays,
+    cam,
+    spp: int,
+    start,
+    n_paths: int,
+    lanes: int,
+    intersect_fn: Callable | None = None,
+):
+    """Persistent-wavefront photon eye pass: `lanes` device lanes stream
+    `n_paths` camera paths (global indices [start, start+n_paths), pixel-major),
+    exactly like path_tracer.trace_streamed. Returns (n_paths, 3) radiance."""
+    from ..camera import camera as cam_mod
+    from .path_tracer import PARK_DISTANCE, RegenCfg
+
+    dtype = tables.tri_v0.dtype
+    if intersect_fn is None:
+        intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
+
+    start = jnp.asarray(start, jnp.int32)
+    regen = RegenCfg(cam=cam, width=cam.width, spp=spp, start=start, n_paths=n_paths)
+    step = _make_eye_step(
+        tables, meta, cfg, maps, caustic_arrays, global_arrays, intersect_fn,
+        regen=regen)
+
+    L = lanes
+    local0 = jnp.arange(L, dtype=jnp.int32)
+    live0 = local0 < n_paths
+    lin0 = start + jnp.minimum(local0, n_paths - 1)
+    pix0 = (lin0 // spp).astype(jnp.uint32)
+    first = cam_mod.generate_rays(
+        cam, pix0 % jnp.uint32(cam.width), pix0 // jnp.uint32(cam.width),
+        (lin0 % spp).astype(jnp.uint32), None, cfg.global_seed, dtype,
+    )
+    park_o = jnp.asarray([PARK_DISTANCE] * 3, dtype)
+    f0 = jnp.zeros((L,), dtype)
+    i0 = jnp.zeros((L,), jnp.int32)
+    init = _EyeState(
+        bounce=i0,
+        origin=jnp.where(live0[:, None], first.origin, park_o),
+        direction=first.direction,
+        medium_ior=f0 + tables.ior.astype(dtype),
+        refraction_scale=f0 + 1.0,
+        ray_dirac=i0 != 0,
+        diffuse_depth=i0,
+        refraction_level=i0,
+        iors=(f0 + tables.ior.astype(dtype))[:, None] * jnp.ones((1, cfg.ior_stack_size), dtype),
+        ior_count=i0 + 1,
+        throughput=jnp.ones((L, 3), dtype),
+        radiance=jnp.zeros((L, 3), dtype),
+        alive=live0,
+        prev_light=i0 - 1,
+        prev_bsdf_pdf=f0,
+        prev_select_prob=f0 + 1.0,
+        pixel_index=first.pixel_index,
+        sample_index=first.sample_index,
+        path_id=local0,
+        next_path=jnp.sum(i0) + min(L, n_paths),
+        out_rad=jnp.zeros((n_paths + 1, 3), dtype),
+    )
+
+    def cond(st: _EyeState):
+        return jnp.any(st.alive)
+
+    final = jax.lax.while_loop(cond, step, init)
+    return final.out_rad[:n_paths]

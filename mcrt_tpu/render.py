@@ -70,6 +70,48 @@ def _chunk_render_pm_fn(meta, pmcfg, cam: CameraDef, film_cfg, maps, dtype):
     return run
 
 
+def _chunk_render_pm_streamed_fn(meta, pmcfg, cam: CameraDef, film_cfg, maps, dtype,
+                                 spp: int, lanes: int):
+    """Persistent-wavefront photon eye pass (mirrors _chunk_render_streamed_fn):
+    dead lanes immediately load the next path, so the dense per-bounce k-NN
+    estimate work is never spent on idle lanes."""
+    from .integrator import photon_mapper as pm
+    from .ops import cluster_bvh
+
+    fastbox = film_cfg.filter_name == "box" and film_cfg.radius == 0.5
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def run(tables, cbvh, caustic_arrays, global_arrays, n, start, film_acc):
+        if cbvh is not None:
+            intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, cbvh)
+        else:
+            intersect_fn = None
+        radiance = pm.trace_streamed(
+            tables, meta, pmcfg, maps, caustic_arrays, global_arrays,
+            cam, spp, start, n, min(lanes, n), intersect_fn=intersect_fn,
+        )
+        if fastbox and n % spp == 0:
+            n_px = n // spp
+            sums = radiance.reshape(n_px, spp, 3).sum(axis=1)
+            upd = jnp.concatenate(
+                [sums, jnp.full((n_px, 1), spp, dtype)], axis=1)
+            pix0 = start // spp
+            zero = jnp.zeros((), pix0.dtype)
+            flat = film_acc.reshape(-1, 4)
+            cur = jax.lax.dynamic_slice(flat, (pix0, zero), (n_px, 4))
+            flat = jax.lax.dynamic_update_slice(flat, cur + upd, (pix0, zero))
+            return flat.reshape(film_acc.shape)
+        lin = start + jnp.arange(n, dtype=jnp.int32)
+        pix = (lin // spp).astype(jnp.uint32)
+        px = pix % jnp.uint32(cam.width)
+        py = pix // jnp.uint32(cam.width)
+        si = (lin % spp).astype(jnp.uint32)
+        rays = cam_mod.generate_rays(cam, px, py, si, tables.ior, pmcfg.global_seed, dtype)
+        return film_acc + film_mod.splat(film_cfg, rays.px, radiance)
+
+    return run
+
+
 def _chunk_render_fn(meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, dtype):
     """Builds the jitted (tables, cbvh, pixel_x, pixel_y, sample_index, film) -> film
     step. Scene tables and the BVH are ARGUMENTS (pytrees), never closures — closing
@@ -249,10 +291,17 @@ def render(
 
                 _pg.save_photon_grid(pm_ckpt[0], maps.caustic)
                 _pg.save_photon_grid(pm_ckpt[1], maps.global_)
-        run0 = _chunk_render_pm_fn(meta, pmcfg, cam, film_cfg, maps, dtype)
-        run = lambda px, py, si, film_acc, start: run0(
-            tables, cbvh, maps.caustic.arrays, maps.global_.arrays, px, py, si, film_acc
-        )
+        if cfg.streamed:
+            run0 = _chunk_render_pm_streamed_fn(
+                meta, pmcfg, cam, film_cfg, maps, dtype, spp, cfg.lanes)
+            run = lambda px, py, si, film_acc, start: run0(
+                tables, cbvh, maps.caustic.arrays, maps.global_.arrays,
+                len(px), jnp.asarray(start, jnp.int32), film_acc)
+        else:
+            run0 = _chunk_render_pm_fn(meta, pmcfg, cam, film_cfg, maps, dtype)
+            run = lambda px, py, si, film_acc, start: run0(
+                tables, cbvh, maps.caustic.arrays, maps.global_.arrays, px, py, si, film_acc
+            )
     elif cfg.streamed:
         run0 = _chunk_render_streamed_fn(meta, ptcfg, cam, film_cfg, dtype, spp, cfg.lanes)
         run = lambda px, py, si, film_acc, start: run0(

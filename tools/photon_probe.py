@@ -106,6 +106,43 @@ def main():
     print(f"eye pass: {done} camera rays in {dt:.2f}s -> {eye_rays_per_s/1e6:.2f} M rays/s "
           f"(compile {compile_s:.0f}s)", flush=True)
 
+    # ---- pass 2 (streamed): persistent-wavefront eye pass ----
+    import functools
+
+    LANES = 1 << 13
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def run_s(tables, cbvh, ca, ga, n, start, film_acc):
+        ifn2 = cluster_bvh.make_intersect_fn(tables, meta, cbvh) if cbvh is not None else None
+        rad = pm.trace_streamed(tables, meta, pmcfg, maps, ca, ga,
+                                cam, spp, start, n, LANES, intersect_fn=ifn2)
+        n_px = n // spp
+        sums = rad.reshape(n_px, spp, 3).sum(axis=1)
+        upd = jnp.concatenate([sums, jnp.full((n_px, 1), float(spp), dtype)], axis=1)
+        pix0 = start // spp
+        zero = jnp.zeros((), pix0.dtype)
+        flat = film_acc.reshape(-1, 4)
+        cur = jax.lax.dynamic_slice(flat, (pix0, zero), (n_px, 4))
+        return jax.lax.dynamic_update_slice(flat, cur + upd, (pix0, zero)).reshape(film_acc.shape)
+
+    schunk = 1 << 17
+    film = jnp.zeros((size, size, 4), dtype)
+    f = run_s(tables, cbvh, maps.caustic.arrays, maps.global_.arrays, schunk,
+              jnp.int32(0), film)
+    float(jnp.sum(f))
+    t0 = time.time()
+    done_s = 0
+    film = jnp.zeros((size, size, 4), dtype)
+    while done_s + schunk <= min(total, schunk * 4):
+        film = run_s(tables, cbvh, maps.caustic.arrays, maps.global_.arrays,
+                     schunk, jnp.int32(done_s), film)
+        done_s += schunk
+    float(jnp.sum(film))
+    dts = time.time() - t0
+    eye_streamed = done_s / dts
+    print(f"eye pass (streamed): {done_s} camera rays in {dts:.2f}s -> "
+          f"{eye_streamed/1e6:.2f} M rays/s", flush=True)
+
     out = {
         "emissions": emissions,
         "build_s": t_build,
@@ -113,6 +150,7 @@ def main():
         "caustic_photons": n_caustic,
         "global_photons": n_global,
         "eye_rays_per_s": eye_rays_per_s,
+        "eye_rays_per_s_streamed": eye_streamed,
         "eye_size": size,
     }
     (REPO / "tools" / "photon_tpu.json").write_text(json.dumps(out, indent=1))
