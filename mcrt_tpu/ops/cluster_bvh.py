@@ -198,13 +198,14 @@ def _build_pallas_tables(feat, tri_id, center, cl_lo, cl_hi):
     G5[:, :10, :4] = Mp
     G5[:, 9, 4, :] = tri_p
     rec = G5.reshape(C, 16, 5 * Sp)
-    # AABB table (Lc, 8): cols 0:3 lo, 4:7 hi; padded rows masked in-kernel
+    # AABB table (8, Lc) lane-major: rows 0:3 lo, 4:7 hi; padded lanes (>= C)
+    # masked in-kernel
     Lc = max(128, -(-C // 128) * 128)
-    cl_bb = np.zeros((Lc, 8), np.float32)
-    cl_bb[:, 0:3] = np.inf
-    cl_bb[:, 4:7] = -np.inf
-    cl_bb[:C, 0:3] = cl_lo
-    cl_bb[:C, 4:7] = cl_hi
+    cl_bb = np.zeros((8, Lc), np.float32)
+    cl_bb[0:3, :] = np.inf
+    cl_bb[4:7, :] = -np.inf
+    cl_bb[0:3, :C] = cl_lo.T
+    cl_bb[4:7, :C] = cl_hi.T
     return jnp.asarray(rec), jnp.asarray(cl_bb)
 
 
@@ -632,11 +633,20 @@ def traverse_bestfirst(cbvh: ClusterBVH, origin, direction, block: int = 256,
     )
 
 
+# The Pallas kernel keeps the (K, Lc) per-(ray-block, cluster) entry-distance
+# matrix in VMEM for exact per-ray pruning; beyond this cluster count it would
+# not fit (256 sublanes * Lc * 4 B; 6144 -> 6 MB of ~16 MB VMEM). Larger scenes
+# fall back to the XLA best-first formulation.
+_PALLAS_MAX_CLUSTERS = 6144
+
+
 def _pallas_available(cbvh: ClusterBVH) -> bool:
     """Pallas traversal runs on real TPU backends with f32 tables."""
     import os
 
     if cbvh.rec is None or os.environ.get("MCRT_NO_PALLAS"):
+        return False
+    if cbvh.cl_bb.shape[1] > _PALLAS_MAX_CLUSTERS:
         return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")

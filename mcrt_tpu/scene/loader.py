@@ -587,12 +587,21 @@ class Scene:
             cache[key] = build_bvh(mins, maxs, kind=kind, bins=bins, dtype=dtype)
         return cache[key]
 
-    def build_cluster_bvh(self, dtype=np.float32, cluster_size: int = 128):
+    def build_cluster_bvh(self, dtype=np.float32, cluster_size: int | None = None):
         """Fat-leaf cluster BVH for the MXU-dense intersector (see ops/cluster_bvh).
         Cached per (dtype, cluster_size). None when the scene has no `bvh` block or
-        too few triangles to matter."""
+        too few triangles to matter.
+
+        cluster_size None auto-scales the fat-leaf size (128 -> 512) so large
+        meshes keep the cluster count inside the Pallas traversal kernel's VMEM
+        envelope (a 2M-triangle mesh at S=128 is ~16k clusters — over the
+        kernel's (K, Lc) pruning-matrix budget; S=512 brings it to ~4k)."""
         if self.bvh_config is None or self.n_tris < 8:
             return None
+        if cluster_size is None:
+            cluster_size = 128
+            while cluster_size < 512 and self.n_tris / cluster_size > 5000:
+                cluster_size *= 2
         key = (np.dtype(dtype).name, cluster_size)
         cache = getattr(self, "_cluster_cache", None)
         if cache is None:

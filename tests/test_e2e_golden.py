@@ -149,3 +149,28 @@ def test_mesh_scene_matches_reference(name, sqrtspp, size):
     assert np.all(per_channel < 0.02), (name, per_channel)
     assert np.percentile(diff, 95) < 0.20, (name, np.percentile(diff, 95))
     assert diff.mean() < 0.04, (name, diff.mean())
+
+
+@pytest.mark.slow
+def test_bench_size_golden():
+    """The bench-size image (spaceship 512^2) vs the compiled reference at the
+    same size (VERDICT r4 #9: the number being optimized must be pinned to a
+    correct image — goldens previously stopped at 128^2). 4 spp keeps the CPU
+    render tractable; the channel means over 262k pixels are converged enough
+    to pin systematic error, per-pixel tolerance covers the 4-spp noise. The
+    16-spp golden the bench itself times is committed alongside
+    (spaceship_512_s4.tga) for on-chip comparison via tools/."""
+    j = json.loads((REF_SCENES / "spaceship.json").read_text())
+    j["cameras"][0]["image"] = {"width": 512, "height": 512, "plain": True}
+    j["cameras"][0]["sqrtspp"] = 2
+    scene = Scene(j, scene_dir=REF_SCENES)
+
+    hdr = render(scene, 0, RenderConfig(dtype="float32", rays_per_chunk=1 << 18))
+    ours = np.clip(image_mod.finalize(hdr, scene.cameras[0].image), 0.0, 1.0)
+    ref = image_mod.read_tga(GOLDENS / "spaceship_512_s2.tga").astype(np.float64) / 255.0
+
+    diff = np.abs(ours - ref)
+    per_channel = np.abs(ours.mean(axis=(0, 1)) - ref.mean(axis=(0, 1)))
+    assert np.all(per_channel < 0.02), per_channel
+    assert np.percentile(diff, 95) < 0.30, np.percentile(diff, 95)  # 4 spp noise
+    assert diff.mean() < 0.05, diff.mean()

@@ -46,7 +46,8 @@ def main():
     tables = scene.tables(dtype)
     meta = scene.meta()
     cam = scene.cameras[0]
-    pmcfg = pm.PMConfig.from_json(scene.photon_map_config, max_eye_bounces=64, global_seed=0)
+    pmcfg = pm.PMConfig.from_json(scene.photon_map_config, max_eye_bounces=64, global_seed=0,
+                                  emission_chunk=1 << 18)
     cbvh = build_device_bvh(scene, tables, "float32")
     ifn = cluster_bvh.make_intersect_fn(tables, meta, cbvh) if cbvh is not None else None
 
@@ -77,7 +78,7 @@ def main():
     spp = 16
     n_pix = size * size
     total = n_pix * spp
-    chunk = 1 << 15
+    chunk = 1 << 12  # dense eye: keep each dispatch well under the axon watchdog
     film = jnp.zeros((size, size, 4), dtype)
     lin0 = np.arange(chunk)
     idx0 = lin0 // spp
@@ -92,7 +93,7 @@ def main():
     t0 = time.time()
     done = 0
     film = jnp.zeros((size, size, 4), dtype)
-    while done + chunk <= min(total, chunk * 8):
+    while done + chunk <= min(total, chunk * 4):
         lin = np.arange(done, done + chunk)
         idx = lin // spp
         px = jnp.asarray((idx % size).astype(np.uint32))
@@ -125,7 +126,7 @@ def main():
         cur = jax.lax.dynamic_slice(flat, (pix0, zero), (n_px, 4))
         return jax.lax.dynamic_update_slice(flat, cur + upd, (pix0, zero)).reshape(film_acc.shape)
 
-    schunk = 1 << 17
+    schunk = 1 << 15
     film = jnp.zeros((size, size, 4), dtype)
     f = run_s(tables, cbvh, maps.caustic.arrays, maps.global_.arrays, schunk,
               jnp.int32(0), film)
@@ -133,7 +134,7 @@ def main():
     t0 = time.time()
     done_s = 0
     film = jnp.zeros((size, size, 4), dtype)
-    while done_s + schunk <= min(total, schunk * 4):
+    while done_s + schunk <= min(total, schunk * 3):
         film = run_s(tables, cbvh, maps.caustic.arrays, maps.global_.arrays,
                      schunk, jnp.int32(done_s), film)
         done_s += schunk
