@@ -40,6 +40,63 @@ class Interaction(NamedTuple):
     t_safe: jnp.ndarray      # (R,) hit distance (1 on miss lanes)
 
 
+class ScenePacks(NamedTuple):
+    """Loop-invariant packed tables for the single-wide-gather fetches. Build
+    ONCE per jitted step (outside the bounce loop) with build_packs — built
+    inline they re-materialize every loop iteration (round-5 trace: the
+    (n_surf, 19) concat alone was ~0.07 ms per bounce at 68k surfaces)."""
+    shade: jnp.ndarray   # (n_surf, 19) see interaction_setup
+    mat: jnp.ndarray     # (n_mats, 27) see bsdf.pack_materials
+    light: jnp.ndarray   # (n_lights, 19) see sample_direct
+
+
+def build_packs(tables: SceneTables, meta: SceneMeta) -> ScenePacks:
+    dtype = tables.surf_area.dtype
+    n_surf = tables.surf_area.shape[0]
+    ntri = meta.n_tris
+    pad = n_surf - ntri
+    f = lambda x: x.astype(dtype)[:, None]
+
+    def tri_col(x):
+        return jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), dtype)], 0) if pad else x
+
+    shade = jnp.concatenate(
+        [
+            f(tables.surf_area),                            # 0
+            f(tables.surf_mat),                             # 1
+            tables.surf_radiosity,                          # 2:5
+            f(tables.surf_emissive_idx),                    # 5
+            tri_col(tables.tri_n),                          # 6:9
+            tri_col(f(tables.tri_interp)),                  # 9
+            tri_col(tables.tri_vn.reshape(ntri, 9)),        # 10:19
+        ],
+        axis=1,
+    )
+    return ScenePacks(shade=shade, mat=bsdf.pack_materials(tables),
+                      light=build_light_pack(tables))
+
+
+def build_light_pack(tables: SceneTables):
+    dtype = tables.surf_area.dtype
+    f = lambda x: x.astype(dtype)[:, None]
+    if not tables.light_cdf.shape[0]:
+        return jnp.zeros((0, 19), dtype)
+    return jnp.concatenate(
+        [
+            f(tables.light_surf),           # 0 (ids exact in f32 below 2^24)
+            f(tables.light_select_prob),    # 1
+            tables.light_radiosity,         # 2:5
+            f(tables.light_area),           # 5
+            f(tables.light_kind),           # 6
+            tables.light_p0,                # 7:10
+            tables.light_p1,                # 10:13
+            tables.light_p2,                # 13:16
+            tables.light_normal,            # 16:19
+        ],
+        axis=1,
+    )
+
+
 def _surface_normal_packed(tables, meta, sid, row, position):
     """surface_normal (ops/intersect.py) fed from the packed per-surface row:
     the triangle geometric normal comes from pack cols 6:9; sphere/quadric
@@ -83,6 +140,7 @@ def interaction_setup(
     ior_count,
     refraction_level,
     medium_ior,
+    packs: ScenePacks | None = None,
 ) -> Interaction:
     """Per-hit frame, IOR ordering, Fresnel probabilities (interaction.cpp:12-53)."""
     dtype = origin.dtype
@@ -95,29 +153,10 @@ def interaction_setup(
     # One wide packed per-surface gather (area/mat/radiosity/emissive + the
     # triangle normal data) instead of ~8 narrow ones: per-lane gathers cost
     # ~0.3 ms each per 2^16 rays on TPU regardless of row width (round-5
-    # measurement), and the pack concat is loop-invariant so XLA hoists it out
-    # of the bounce loop. Triangle-only columns are zero-padded to n_surf.
-    n_surf = tables.surf_area.shape[0]
-    ntri = meta.n_tris
-    pad = n_surf - ntri
-    f = lambda x: x.astype(dtype)[:, None]
-
-    def tri_col(x):
-        return jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), dtype)], 0) if pad else x
-
-    pack = jnp.concatenate(
-        [
-            f(tables.surf_area),                            # 0
-            f(tables.surf_mat),                             # 1
-            tables.surf_radiosity,                          # 2:5
-            f(tables.surf_emissive_idx),                    # 5
-            tri_col(tables.tri_n),                          # 6:9
-            tri_col(f(tables.tri_interp)),                  # 9
-            tri_col(tables.tri_vn.reshape(ntri, 9)),        # 10:19
-        ],
-        axis=1,
-    )
-    row = pack[s]
+    # measurement). Callers inside loops should pass prebuilt `packs`.
+    if packs is None:
+        packs = build_packs(tables, meta)
+    row = packs.shade[s]
     area = row[:, 0]
     mat_id = (row[:, 1] + 0.5).astype(jnp.int32)
     radiosity = row[:, 2:5]
@@ -127,7 +166,7 @@ def interaction_setup(
     cos_g = g.dot(direction, geom_n_raw)
     inside = cos_g > 0.0
 
-    mat = bsdf.gather_materials(tables, mat_id)
+    mat = bsdf.gather_materials(tables, mat_id, pack=packs.mat)
 
     external_ior = g.onehot_row_take(
         iors, jnp.clip(refraction_level - 1, 0, ior_count - 1)
@@ -183,6 +222,7 @@ def sample_direct(
     intersect_fn: Callable,
     eps,
     alive,
+    packs: ScenePacks | None = None,
 ):
     """Next-event estimation with MIS (integrator.cpp:31-87).
 
@@ -197,21 +237,7 @@ def sample_direct(
     light_idx = jnp.clip(g.cdf_index(tables.light_cdf, u_l2), 0, n_l - 1)
     # One wide packed gather for every per-light field (narrow per-field gathers
     # cost ~0.3 ms each per 2^16 rays on TPU; width is free — round-5 measurement).
-    lf = lambda x: x.astype(dtype)[:, None]
-    lpack = jnp.concatenate(
-        [
-            lf(tables.light_surf),          # 0 (ids exact in f32 below 2^24)
-            lf(tables.light_select_prob),   # 1
-            tables.light_radiosity,         # 2:5
-            lf(tables.light_area),          # 5
-            lf(tables.light_kind),          # 6
-            tables.light_p0,                # 7:10
-            tables.light_p1,                # 10:13
-            tables.light_p2,                # 13:16
-            tables.light_normal,            # 16:19
-        ],
-        axis=1,
-    )
+    lpack = packs.light if packs is not None else build_light_pack(tables)
     lrow = lpack[light_idx]
     lsurf = (lrow[:, 0] + 0.5).astype(jnp.int32)
     select_prob = lrow[:, 1]

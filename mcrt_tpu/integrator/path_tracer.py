@@ -92,7 +92,9 @@ class PathState(NamedTuple):
     trav_steps: jnp.ndarray        # (2,) int32 [walk_steps, leaf_rounds] (primary rays)
     path_id: jnp.ndarray           # (R,) int32 local path index (regen; else iota)
     next_path: jnp.ndarray         # scalar int32: next unassigned path (regen)
-    out_rad: jnp.ndarray           # (N+1,3) finished-path radiance (regen; else (1,3))
+    gen: jnp.ndarray               # (R,) int32 paths completed by this lane (regen)
+    out_rad: jnp.ndarray           # (Gcap,R,3) finished-path radiance (regen; else (1,1,3))
+    out_pid: jnp.ndarray           # (Gcap,R) int32 finished-path local ids, -1 empty
     pixel_index: jnp.ndarray       # (R,) uint32
     sample_index: jnp.ndarray      # (R,) uint32
     origin: jnp.ndarray            # (R,3)
@@ -153,16 +155,34 @@ def _sample_light_position(tables: SceneTables, light_idx, u, v):
 
 
 class RegenCfg(NamedTuple):
-    """Path-regeneration parameters (persistent wavefront): dead lanes pull the
-    next unassigned (pixel, sample) pair instead of idling until the whole
-    dispatch drains — the TPU analogue of persistent-threads path regeneration.
-    Without it, dense per-bounce work is paid for every lane while the live
-    fraction decays (~18% average lane utilization at 16 spp measured round 4)."""
+    """Path-regeneration parameters (persistent wavefront): a dead lane loads
+    its own next path instead of idling until the whole dispatch drains — the
+    TPU analogue of persistent-threads path regeneration. Without it, dense
+    per-bounce work is paid for every lane while the live fraction decays
+    (~18% average lane utilization at 16 spp measured round 4).
+
+    Two assignment modes (all three variants were measured on v5e, round 5):
+
+    strided=False (DYNAMIC): a dead lane pulls the globally-next path — lanes
+    stay load-balanced, radiance scatter-adds into out_rad[0, path_id]. Best
+    for the forward while_loop, whose trip count tracks the slowest lane (a
+    lane-strided forward paid its per-lane tail imbalance, -17%).
+
+    strided=True (LANE-STRIDED): lane l owns paths l, l+L, l+2L, ...; radiance
+    lands at out_rad[g, l] by masked dense update — no scatter at all, and
+    reshape(G*L, 3) is already pixel-major. Best for the fixed-trips
+    differentiable scan (+14% fwd+bwd): the trip budget is spent either way,
+    and the scatter (and its transpose in reverse mode) disappears. (A third
+    variant — dynamic assignment + dense writes + one sort-by-path-id at the
+    end — measured worse than both: the (Gcap, L) mask updates cost more per
+    trip than the scatter they replaced.)"""
     cam: object          # CameraDef (static)
     width: int           # image width (static)
     spp: int             # samples per pixel (static)
     start: jnp.ndarray   # scalar int32: global path index of local path 0
-    n_paths: int         # static: paths this dispatch streams (out_rad rows - 1)
+    n_paths: int         # static: paths this dispatch streams
+    lanes: int           # static: L; generations G = ceil(n_paths / L)
+    strided: bool        # static: assignment mode (see above)
 
 
 def make_bounce_step(
@@ -176,6 +196,9 @@ def make_bounce_step(
     dtype = tables.tri_v0.dtype
     eps = jnp.asarray(ray_offset_eps(dtype), dtype)
     K = cfg.ior_stack_size
+    # Loop-invariant packed tables, built ONCE here so they sit outside the
+    # bounce while_loop (built inside the step they re-concat every iteration).
+    packs = common.build_packs(tables, meta)
 
     def step(st: PathState) -> PathState:
         base_ctx = sobol.make_ctx(cfg.global_seed, st.pixel_index, st.sample_index, dtype)
@@ -199,6 +222,7 @@ def make_bounce_step(
         ix = common.interaction_setup(
             tables, meta, st.origin, st.direction, hit,
             st.iors, st.ior_count, st.refraction_level, st.medium_ior,
+            packs=packs,
         )
 
         # ---- sampleEmissive (integrator.cpp:93-110) ----
@@ -210,7 +234,7 @@ def make_bounce_step(
         # ---- sampleDirect / NEE (integrator.cpp:31-87) ----
         if meta.has_lights:
             nee, prev_light, prev_select_prob, shadow_rays = common.sample_direct(
-                tables, ix, ctx, intersect_fn, eps, alive
+                tables, ix, ctx, intersect_fn, eps, alive, packs=packs
             )
             radiance = radiance + st.throughput * nee
             ray_count = ray_count + shadow_rays
@@ -258,7 +282,9 @@ def make_bounce_step(
         sample_index = st.sample_index
         path_id = st.path_id
         next_path = st.next_path
+        gen = st.gen
         out_rad = st.out_rad
+        out_pid = st.out_pid
         medium_ior = b.new_medium
         ray_dirac = b.dirac_next
         ray_refraction = b.did_refract
@@ -268,16 +294,33 @@ def make_bounce_step(
             # Lanes at the depth cap die here so their radiance is finalized.
             alive = alive & (bounce < cfg.max_bounces)
             died_now = st.alive & ~alive
-            # 1. finalize: write dead paths' radiance to the output buffer
-            # (row n_paths is a trash row for lanes that did not die).
-            slot = jnp.where(died_now, path_id, regen.n_paths)
-            out_rad = out_rad.at[slot].add(
-                jnp.where(died_now[:, None], radiance, 0.0), mode="drop"
-            )
-            # 2. reload: dead lanes pull the next unassigned paths in order.
-            rank = jnp.cumsum(died_now.astype(jnp.int32)) - died_now.astype(jnp.int32)
-            new_local = (next_path + rank).astype(jnp.int32)
-            has_new = died_now & (new_local < regen.n_paths)
+            L = regen.lanes
+            if regen.strided:
+                # 1. finalize: masked dense write into this lane's own row
+                # (path_id carries the lane's generation g; path = g*L + lane).
+                G = out_rad.shape[0]
+                lane = jnp.arange(L, dtype=jnp.int32)
+                gen_rows = jax.lax.broadcasted_iota(jnp.int32, (G, L), 0)
+                write = died_now[None, :] & (gen_rows == path_id[None, :])
+                out_rad = out_rad + jnp.where(write[..., None], radiance[None, :, :], 0.0)
+                # 2. reload: the lane's own next stride.
+                g_next = path_id + 1
+                new_local = g_next * L + lane
+                has_new = died_now & (new_local < regen.n_paths)
+                next_id = g_next
+            else:
+                # 1. finalize: scatter dead paths' radiance to their rows
+                # (row n_paths is a trash row for lanes that did not die).
+                slot = jnp.where(died_now, path_id, regen.n_paths)
+                out_rad = out_rad.at[0, slot].add(
+                    jnp.where(died_now[:, None], radiance, 0.0), mode="drop")
+                # 2. reload: dead lanes pull the next unassigned paths in order.
+                rank = jnp.cumsum(died_now.astype(jnp.int32)) - died_now.astype(jnp.int32)
+                new_local = (next_path + rank).astype(jnp.int32)
+                has_new = died_now & (new_local < regen.n_paths)
+                next_path = next_path + jnp.sum(died_now.astype(jnp.int32))
+                next_id = new_local
+            gen = st.gen
             lin = regen.start + jnp.minimum(new_local, regen.n_paths - 1)
             pix = (lin // regen.spp).astype(jnp.uint32)
             npx = pix % jnp.uint32(regen.width)
@@ -298,8 +341,7 @@ def make_bounce_step(
             bounce = jnp.where(has_new, 0, bounce)
             pixel_index = jnp.where(has_new, fresh.pixel_index, pixel_index)
             sample_index = jnp.where(has_new, fresh.sample_index, sample_index)
-            path_id = jnp.where(has_new, new_local, path_id)
-            next_path = next_path + jnp.sum(died_now.astype(jnp.int32))
+            path_id = jnp.where(has_new, next_id, path_id)
             medium_ior = jnp.where(has_new, scene_ior, medium_ior)
             new_refr_scale = jnp.where(has_new, 1.0, new_refr_scale)
             ray_dirac = jnp.where(has_new, False, ray_dirac)
@@ -324,7 +366,9 @@ def make_bounce_step(
             trav_steps=trav_steps,
             path_id=path_id,
             next_path=next_path,
+            gen=gen,
             out_rad=out_rad,
+            out_pid=out_pid,
             pixel_index=pixel_index,
             sample_index=sample_index,
             origin=new_origin,
@@ -395,7 +439,9 @@ def trace(
         trav_steps=jnp.zeros(2, jnp.int32) + jnp.sum(i0),
         path_id=i0 + jnp.arange(R, dtype=jnp.int32),
         next_path=jnp.sum(i0) + R,
-        out_rad=jnp.zeros((1, 3), dtype) + jnp.sum(f0),
+        gen=i0,
+        out_rad=jnp.zeros((1, 1, 3), dtype) + jnp.sum(f0),
+        out_pid=jnp.full((1, 1), -1, jnp.int32) + jnp.sum(i0),
         pixel_index=pixel_index,
         sample_index=sample_index,
         origin=origin,
@@ -457,6 +503,7 @@ def trace_streamed(
     intersect_fn: Callable | None = None,
     fixed_trips: int | None = None,
     remat: bool = True,
+    strided: bool | None = None,
 ):
     """Persistent-wavefront trace: `lanes` device lanes stream `n_paths` camera
     paths (global indices [start, start+n_paths), pixel-major x sample-minor as
@@ -483,10 +530,16 @@ def trace_streamed(
         intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
 
     start = jnp.asarray(start, jnp.int32)
-    regen = RegenCfg(cam=cam, width=cam.width, spp=spp, start=start, n_paths=n_paths)
+    L = lanes
+    if strided is None:
+        # Measured defaults (see RegenCfg): strided wins for the fixed-trips
+        # differentiable scan, dynamic for the drain-everything while_loop.
+        strided = fixed_trips is not None
+    G = -(-n_paths // L)
+    regen = RegenCfg(cam=cam, width=cam.width, spp=spp, start=start,
+                     n_paths=n_paths, lanes=L, strided=strided)
     step = make_bounce_step(tables, meta, cfg, intersect_fn, regen=regen)
 
-    L = lanes
     local0 = jnp.arange(L, dtype=jnp.int32)
     live0 = local0 < n_paths
     lin0 = start + jnp.minimum(local0, n_paths - 1)
@@ -505,9 +558,12 @@ def trace_streamed(
         # so carry dtypes match on every platform.
         ray_count=jnp.sum(i0),
         trav_steps=jnp.zeros(2, jnp.int32) + jnp.sum(i0),
-        path_id=local0,
+        path_id=i0 if strided else local0,   # strided: per-lane generation g
         next_path=jnp.sum(i0) + min(L, n_paths),
-        out_rad=jnp.zeros((n_paths + 1, 3), dtype),
+        gen=i0,
+        out_rad=jnp.zeros((G, L, 3), dtype) if strided
+        else jnp.zeros((1, n_paths + 1, 3), dtype),
+        out_pid=jnp.full((1, 1), -1, jnp.int32),
         pixel_index=first.pixel_index,
         sample_index=first.sample_index,
         origin=jnp.where(live0[:, None], first.origin, park_o),
@@ -528,19 +584,30 @@ def trace_streamed(
         prev_select_prob=f0 + 1.0,
     )
 
+    def finalize(final: PathState):
+        # Flush still-alive lanes' partial radiance to their output rows
+        # (truncation at the trip budget, like max_bounces in the reference;
+        # a drained while_loop has no alive lanes so this is a no-op there).
+        if strided:
+            gen_rows = jax.lax.broadcasted_iota(jnp.int32, (G, L), 0)
+            write = final.alive[None, :] & (gen_rows == final.path_id[None, :])
+            out = final.out_rad + jnp.where(
+                write[..., None], final.radiance[None, :, :], 0.0)
+            # (G, L) lane-strided -> pixel-major path order by construction
+            return out.reshape(G * L, 3)[:n_paths], final.ray_count
+        slot = jnp.where(final.alive, final.path_id, n_paths)
+        out = final.out_rad.at[0, slot].add(
+            jnp.where(final.alive[:, None], final.radiance, 0.0), mode="drop")
+        return out[0, :n_paths], final.ray_count
+
     if fixed_trips is not None:
         body = jax.checkpoint(step) if remat else step
         final, _ = jax.lax.scan(
             lambda st, _: (body(st), None), init, None, length=fixed_trips)
-        # Flush still-alive lanes' partial radiance to their output rows
-        # (truncation at the trip budget, like max_bounces in the reference).
-        slot = jnp.where(final.alive, final.path_id, n_paths)
-        out = final.out_rad.at[slot].add(
-            jnp.where(final.alive[:, None], final.radiance, 0.0), mode="drop")
-        return out[:n_paths], final.ray_count
+        return finalize(final)
 
     def cond(st: PathState):
         return jnp.any(st.alive)
 
     final = jax.lax.while_loop(cond, step, init)
-    return final.out_rad[:n_paths], final.ray_count
+    return finalize(final)

@@ -116,6 +116,7 @@ def _make_emission_stream_step(tables, meta, cfg: PMConfig, intersect_fn,
     eps = jnp.asarray(ray_offset_eps(dtype), dtype)
     non_caustic_reject = 1.0 / cfg.caustic_factor
     K = cfg.ior_stack_size
+    packs = common.build_packs(tables, meta)
     from .path_tracer import PARK_DISTANCE
 
     park_o = jnp.asarray([PARK_DISTANCE] * 3, dtype)
@@ -152,6 +153,7 @@ def _make_emission_stream_step(tables, meta, cfg: PMConfig, intersect_fn,
         ix = common.interaction_setup(
             tables, meta, st.origin, st.direction, hit,
             st.iors, st.ior_count, st.refraction_level, st.medium_ior,
+            packs=packs,
         )
 
         # Photon deposit (photon-mapper.cpp:242-255): only at non-dirac materials.
@@ -478,6 +480,7 @@ def _make_eye_step(
     eps = jnp.asarray(ray_offset_eps(dtype), dtype)
     K = cfg.ior_stack_size
     k = cfg.k_nearest_photons
+    packs = common.build_packs(tables, meta)
 
     def step(st: _EyeState) -> _EyeState:
         R = st.origin.shape[0]
@@ -489,6 +492,7 @@ def _make_eye_step(
         ix = common.interaction_setup(
             tables, meta, st.origin, st.direction, hit,
             st.iors, st.ior_count, st.refraction_level, st.medium_ior,
+            packs=packs,
         )
         radiance = st.radiance + st.throughput * common.sample_emissive(
             ix, st.direction, st.bounce, st.ray_dirac, st.prev_light,
@@ -515,7 +519,7 @@ def _make_eye_step(
         # NEE only on the delayed-global continuation (:319-326)
         if meta.has_lights:
             nee, prev_light, prev_select_prob, _ = common.sample_direct(
-                tables, ix, ctx, intersect_fn, eps, cont_diff
+                tables, ix, ctx, intersect_fn, eps, cont_diff, packs=packs
             )
             radiance = radiance + jnp.where(cont_diff[:, None], st.throughput * nee, 0.0)
             prev_light = jnp.where(cont_diff, prev_light, -1)
@@ -715,7 +719,8 @@ def trace_streamed(
         intersect_fn = lambda o, d: isect.intersect_brute(tables, meta, o, d)
 
     start = jnp.asarray(start, jnp.int32)
-    regen = RegenCfg(cam=cam, width=cam.width, spp=spp, start=start, n_paths=n_paths)
+    regen = RegenCfg(cam=cam, width=cam.width, spp=spp, start=start,
+                     n_paths=n_paths, lanes=lanes, strided=False)
     step = _make_eye_step(
         tables, meta, cfg, maps, caustic_arrays, global_arrays, intersect_fn,
         regen=regen)

@@ -45,19 +45,17 @@ class MatParams(NamedTuple):
     oren_B: jnp.ndarray                 # (R,)
 
 
-def gather_materials(tables, mat_id) -> MatParams:
-    """One wide packed gather instead of 17 narrow ones.
+def pack_materials(tables):
+    """(n_mats, 27) packed material table for the single-wide-gather fetch.
 
     Per-lane gathers on TPU cost ~0.3 ms per 2^16 rays REGARDLESS of row width
-    (measured round 5), so consolidating the material fetch into a single
-    (n_mats, 26)-row gather is ~17x cheaper than per-field gathers. The concat
-    is loop-invariant (XLA hoists it out of the bounce loop) and differentiable,
-    so reflectance/roughness/ior/transparency gradients still flow into the
-    underlying tables."""
-    m = jnp.maximum(mat_id, 0)
+    (measured round 5), so consolidating the material fetch into one
+    (n_mats, 27)-row gather is ~17x cheaper than per-field gathers. Build this
+    OUTSIDE the bounce loop (the concat is differentiable — reflectance /
+    roughness / ior / transparency gradients still flow into the tables)."""
     dtype = tables.mat_reflectance.dtype
     f = lambda x: x.astype(dtype)[:, None]
-    pack = jnp.concatenate(
+    return jnp.concatenate(
         [
             tables.mat_reflectance,             # 0:3
             tables.mat_specular_reflectance,    # 3:6
@@ -79,6 +77,13 @@ def gather_materials(tables, mat_id) -> MatParams:
         ],
         axis=1,
     )
+
+
+def gather_materials(tables, mat_id, pack=None) -> MatParams:
+    """Fetch per-ray material params with ONE wide gather (see pack_materials)."""
+    m = jnp.maximum(mat_id, 0)
+    if pack is None:
+        pack = pack_materials(tables)
     row = pack[m]                               # (R, 27): the ONE gather
     b = lambda c: row[:, c] > 0.5
     return MatParams(

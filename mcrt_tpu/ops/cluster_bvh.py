@@ -690,6 +690,12 @@ def make_intersect_fn(
     if method is None:
         method = "pallas" if _pallas_available(cbvh) else "bestfirst"
 
+    from .intersect import build_geo_pack, refine_tri_hit
+
+    # Loop-invariant: built once when the closure is traced (make_intersect_fn
+    # is called outside the bounce loop), not per bounce iteration.
+    geo_pack = build_geo_pack(tables) if meta.n_tris else None
+
     def intersect(origin, direction):
         dtype = origin.dtype
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
@@ -729,9 +735,8 @@ def make_intersect_fn(
         best_uv = jnp.stack([u, v], axis=-1)
         # Re-evaluate the winner exactly (same gathered-triangle ops as the brute
         # path) so BVH and no-BVH renders produce bitwise-identical hits.
-        from .intersect import refine_tri_hit
-
-        best_t, best_uv = refine_tri_hit(tables, meta, origin, direction, best_t, best_id, best_uv)
+        best_t, best_uv = refine_tri_hit(
+            tables, meta, origin, direction, best_t, best_id, best_uv, geo=geo_pack)
 
         if meta.n_sphs:
             t, valid = intersect_spheres_block(origin, direction, tables.sph_origin, tables.sph_radius)

@@ -57,7 +57,8 @@ def intersect_tris_block(origin, direction, v0, e1, e2, eps):
     return t, u, v, valid
 
 
-def refine_tri_hit(tables: "SceneTables", meta: "SceneMeta", origin, direction, t, surf_id, uv):
+def refine_tri_hit(tables: "SceneTables", meta: "SceneMeta", origin, direction, t, surf_id, uv,
+                   geo=None):
     """Recompute (t, u, v) of the winning triangle with one exact Moller-Trumbore.
 
     Both intersection paths (brute block and cluster-BVH matmul) funnel their
@@ -72,8 +73,9 @@ def refine_tri_hit(tables: "SceneTables", meta: "SceneMeta", origin, direction, 
     is_tri = (surf_id >= 0) & (sid < meta.sphere_offset)
     tid = jnp.clip(sid, 0, meta.n_tris - 1)
     # One 9-wide gather instead of three narrow ones (TPU gather cost is
-    # ~independent of row width; the concat is hoisted out of the bounce loop).
-    geo = jnp.concatenate([tables.tri_v0, tables.tri_e1, tables.tri_e2], axis=1)
+    # ~independent of row width). Callers inside loops pass a prebuilt `geo`.
+    if geo is None:
+        geo = build_geo_pack(tables)
     grow = geo[tid]
     v0 = grow[:, 0:3]
     e1 = grow[:, 3:6]
@@ -89,6 +91,12 @@ def refine_tri_hit(tables: "SceneTables", meta: "SceneMeta", origin, direction, 
     t_out = jnp.where(is_tri, tt, t)
     uv_out = jnp.where(is_tri[:, None], jnp.stack([u, v], axis=-1), uv)
     return t_out, uv_out
+
+
+def build_geo_pack(tables):
+    """(n_tris, 9) packed [v0|e1|e2] for refine_tri_hit's single wide gather;
+    build outside loop bodies (loop-invariant)."""
+    return jnp.concatenate([tables.tri_v0, tables.tri_e1, tables.tri_e2], axis=1)
 
 
 def intersect_spheres_block(origin, direction, centers, radii):

@@ -96,7 +96,9 @@ def main():
         return pt.PathState(
             bounce=i0, ray_count=jnp.sum(i0), trav_steps=jnp.zeros(2, jnp.int32),
             path_id=i0 + jnp.arange(R, dtype=jnp.int32), next_path=jnp.sum(i0) + R,
-            out_rad=jnp.zeros((1, 3), dtype), pixel_index=px, sample_index=si,
+            gen=i0, out_rad=jnp.zeros((1, 1, 3), dtype),
+            out_pid=jnp.full((1, 1), -1, jnp.int32),
+            pixel_index=px, sample_index=si,
             origin=o, direction=d, medium_ior=f0 + 1.0, refraction_scale=f0 + 1.0,
             ray_dirac=i0 != 0, ray_refraction=i0 != 0, diffuse_depth=i0,
             refraction_level=i0, iors=(f0 + 1.0)[:, None] * jnp.ones((1, 8), dtype),
