@@ -84,7 +84,7 @@ def bench_ours():
 
     run_diag = make_run(cfg_diag)
 
-    LANES = 1 << 13   # best measured lane count on v5e (tools/probe sweep, round 4)
+    LANES = 1 << 14   # best measured lane count on v5e (round-5 sweep: 2^14 = 3.30 M)
     spp_ = SQRTSPP * SQRTSPP
 
     import functools

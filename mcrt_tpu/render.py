@@ -45,7 +45,7 @@ class RenderConfig:
     # streamed through `lanes` device lanes; a lane whose path dies immediately
     # loads the next one, so per-bounce dense work is never spent on idle lanes.
     streamed: bool = True
-    lanes: int = 1 << 13  # best measured on v5e (round-4 sweep: 2^12-2^13 ~ 2.3 M rays/s)
+    lanes: int = 1 << 14  # best measured on v5e (round-5 sweep: 3.3 M rays/s full render)
 
 
 def _chunk_render_pm_fn(meta, pmcfg, cam: CameraDef, film_cfg, maps, dtype):
