@@ -97,12 +97,12 @@ def bench_ours():
         )
         radiance, rays_n = pt.trace_streamed(
             tables, meta, cfg, cam, spp_, start, n, LANES, intersect_fn=intersect_fn,
+            pixel_sums=True,
         )
-        # Box filter at radius 0.5 + pixel-major path layout: the splat is a
-        # dense reshape-sum + contiguous row update (scatter-adds cost ~5x the
-        # whole trace on the current TPU runtime; see render.py fastbox path).
+        # Box filter at radius 0.5: trace_streamed already accumulated per-pixel
+        # sums (16x smaller scatter buffer; see RegenCfg.pixel_sums).
         n_px_ = n // spp_
-        sums = radiance.reshape(n_px_, spp_, 3).sum(axis=1)
+        sums = radiance
         upd = jnp.concatenate([sums, jnp.full((n_px_, 1), spp_, dtype)], axis=1)
         pix0 = start // spp_
         flat = film_acc.reshape(-1, 4)

@@ -183,6 +183,11 @@ class RegenCfg(NamedTuple):
     n_paths: int         # static: paths this dispatch streams
     lanes: int           # static: L; generations G = ceil(n_paths / L)
     strided: bool        # static: assignment mode (see above)
+    pixel_sums: bool     # static (dynamic mode only): accumulate per-PIXEL sums
+                         # instead of per-path radiance — the scatter-add's cost
+                         # scales with the OUTPUT BUFFER size on this runtime
+                         # (measured 4x between 2^15 and 2^18 rows), and the box
+                         # filter only ever consumes the per-pixel sums anyway
 
 
 def make_bounce_step(
@@ -309,9 +314,11 @@ def make_bounce_step(
                 has_new = died_now & (new_local < regen.n_paths)
                 next_id = g_next
             else:
-                # 1. finalize: scatter dead paths' radiance to their rows
-                # (row n_paths is a trash row for lanes that did not die).
-                slot = jnp.where(died_now, path_id, regen.n_paths)
+                # 1. finalize: scatter dead paths' radiance to their row — the
+                # path's own row, or its PIXEL's row (see RegenCfg.pixel_sums).
+                dump = out_rad.shape[1] - 1
+                tgt = path_id // regen.spp if regen.pixel_sums else path_id
+                slot = jnp.where(died_now, tgt, dump)
                 out_rad = out_rad.at[0, slot].add(
                     jnp.where(died_now[:, None], radiance, 0.0), mode="drop")
                 # 2. reload: dead lanes pull the next unassigned paths in order.
@@ -504,6 +511,7 @@ def trace_streamed(
     fixed_trips: int | None = None,
     remat: bool = True,
     strided: bool | None = None,
+    pixel_sums: bool = False,
 ):
     """Persistent-wavefront trace: `lanes` device lanes stream `n_paths` camera
     paths (global indices [start, start+n_paths), pixel-major x sample-minor as
@@ -536,8 +544,13 @@ def trace_streamed(
         # differentiable scan, dynamic for the drain-everything while_loop.
         strided = fixed_trips is not None
     G = -(-n_paths // L)
+    if pixel_sums:
+        assert not strided and n_paths % spp == 0, \
+            "pixel_sums needs dynamic mode and an spp-aligned path count"
+    n_out = (n_paths // spp) if pixel_sums else n_paths
     regen = RegenCfg(cam=cam, width=cam.width, spp=spp, start=start,
-                     n_paths=n_paths, lanes=L, strided=strided)
+                     n_paths=n_paths, lanes=L, strided=strided,
+                     pixel_sums=pixel_sums)
     step = make_bounce_step(tables, meta, cfg, intersect_fn, regen=regen)
 
     local0 = jnp.arange(L, dtype=jnp.int32)
@@ -562,7 +575,7 @@ def trace_streamed(
         next_path=jnp.sum(i0) + min(L, n_paths),
         gen=i0,
         out_rad=jnp.zeros((G, L, 3), dtype) if strided
-        else jnp.zeros((1, n_paths + 1, 3), dtype),
+        else jnp.zeros((1, n_out + 1, 3), dtype),
         out_pid=jnp.full((1, 1), -1, jnp.int32),
         pixel_index=first.pixel_index,
         sample_index=first.sample_index,
@@ -595,10 +608,11 @@ def trace_streamed(
                 write[..., None], final.radiance[None, :, :], 0.0)
             # (G, L) lane-strided -> pixel-major path order by construction
             return out.reshape(G * L, 3)[:n_paths], final.ray_count
-        slot = jnp.where(final.alive, final.path_id, n_paths)
+        tgt = final.path_id // spp if pixel_sums else final.path_id
+        slot = jnp.where(final.alive, tgt, n_out)
         out = final.out_rad.at[0, slot].add(
             jnp.where(final.alive[:, None], final.radiance, 0.0), mode="drop")
-        return out[0, :n_paths], final.ray_count
+        return out[0, :n_out], final.ray_count
 
     if fixed_trips is not None:
         body = jax.checkpoint(step) if remat else step

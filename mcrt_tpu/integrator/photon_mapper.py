@@ -720,7 +720,7 @@ def trace_streamed(
 
     start = jnp.asarray(start, jnp.int32)
     regen = RegenCfg(cam=cam, width=cam.width, spp=spp, start=start,
-                     n_paths=n_paths, lanes=lanes, strided=False)
+                     n_paths=n_paths, lanes=lanes, strided=False, pixel_sums=False)
     step = _make_eye_step(
         tables, meta, cfg, maps, caustic_arrays, global_arrays, intersect_fn,
         regen=regen)

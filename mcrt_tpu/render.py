@@ -161,13 +161,14 @@ def _chunk_render_streamed_fn(meta, cfg: pt.PTConfig, cam: CameraDef, film_cfg, 
             intersect_fn = cluster_bvh.make_intersect_fn(tables, meta, cbvh)
         else:
             intersect_fn = None
+        use_px_sums = fastbox and n % spp == 0
         radiance, _ = pt.trace_streamed(
             tables, meta, cfg, cam, spp, start, n, min(lanes, n),
-            intersect_fn=intersect_fn,
+            intersect_fn=intersect_fn, pixel_sums=use_px_sums,
         )
-        if fastbox and n % spp == 0:
+        if use_px_sums:
             n_px = n // spp
-            sums = radiance.reshape(n_px, spp, 3).sum(axis=1)
+            sums = radiance  # already per-pixel sums (16x smaller scatter buffer)
             upd = jnp.concatenate(
                 [sums, jnp.full((n_px, 1), spp, dtype)], axis=1
             )
