@@ -231,6 +231,51 @@ def _knn_brute(arrays: PhotonGridArrays, points, k: int, n_photons: int,
     return d2k, idxk, jnp.isfinite(d2k)
 
 
+def _knn_pallas_ok(grid: PhotonGrid, dtype, k: int) -> bool:
+    """True when the Pallas one-ring k-NN kernel can serve this query
+    (TPU backend, f32, k within the kernel's output width)."""
+    import os
+
+    from .knn_kernel import KPAD
+
+    if os.environ.get("MCRT_NO_PALLAS") or grid.n_photons == 0:
+        return False
+    if jnp.dtype(dtype).itemsize != 4 or k > KPAD:
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _knn_with_pallas(grid: PhotonGrid, arrays: PhotonGridArrays, points, k, mask):
+    """Pallas kernel + the same brute-force exact fallback for flagged queries
+    (overflowed blocks / under-filled rings) — identical semantics to the XLA
+    exact path, ~100x less data movement (contiguous CSR DMA vs per-query
+    gathers; see knn_kernel.py)."""
+    import jax
+
+    from .knn_kernel import knn_pallas
+
+    N = grid.n_photons
+    d2k, idxk, valid, wk, needs = knn_pallas(grid, arrays, points, k, mask=mask)
+
+    def fallback(_):
+        bd2, bix, bval = _knn_brute(arrays, points, k, N)
+        m = needs[:, None]
+        return (
+            jnp.where(m, bd2, d2k),
+            jnp.where(m, bix, idxk),
+            jnp.where(m, bval, valid),
+            jnp.where(m, jnp.ones_like(wk), wk),
+        )
+
+    return jax.lax.cond(
+        jnp.any(needs), fallback, lambda _: (d2k, idxk, valid, wk), operand=None)
+
+
 def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None,
         exact: bool = False):
     """k nearest photons of each query point (Q,3), within radius cell_size.
@@ -256,6 +301,8 @@ def knn(grid: PhotonGrid, arrays: PhotonGridArrays, points, k: int, mask=None,
     """
     dtype = points.dtype
     Q = points.shape[0]
+    if exact and _knn_pallas_ok(grid, dtype, k):
+        return _knn_with_pallas(grid, arrays, points, k, mask)
     M = grid.m_per_cell
     nx, ny, nz = grid.dims
     N = grid.n_photons
